@@ -1,0 +1,83 @@
+"""Benchmark: flagship ManiPose-rMCL train-step throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "seq/s", "vs_baseline": N}
+
+Baseline: the reference PyTorch implementation executed on this host's
+CPU (its only runnable backend in this environment — it is CUDA/CPU
+torch), measured once via tools/measure_reference_baseline.py at the
+reference's default batch size (3) and 243-frame flagship config:
+REFERENCE_SEQ_PER_SEC below records that number.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Measured 2026-08-16: reference RMCLManifoldMixSTE (d=512, depth=8, K=5,
+# L=243), torch CPU, fwd+bwd+Adam, B=3: 55.25 s/step = 0.0543 seq/s
+# (see tools/measure_reference_baseline.py).
+REFERENCE_SEQ_PER_SEC = 0.0543
+
+BATCH = 4
+SEQ_LEN = 243
+
+
+def main():
+    from manipose_tpu.geometry import h36m_skeleton_17
+    from manipose_tpu.models import ManifoldConfig, RMCLManifoldMixSTE
+    from manipose_tpu.train import (
+        LossConfig,
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    skel = h36m_skeleton_17()
+    cfg = ManifoldConfig(num_frame=SEQ_LEN, n_hyp=5)
+    model = RMCLManifoldMixSTE(cfg, skel)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(BATCH, SEQ_LEN, 17, 2)).astype(np.float32))
+    y = jnp.asarray(
+        0.1 * rng.normal(size=(BATCH, SEQ_LEN, 17, 3)).astype(np.float32)
+    )
+
+    params = model.init(jax.random.PRNGKey(0), x[:1])
+    tx = make_optimizer(weight_decay=1e-6)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(model.apply, LossConfig(rmcl=True), skel, tx)
+
+    # warmup / compile
+    state, metrics = step(state, x, y, 4e-5)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, x, y, 4e-5)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+
+    seq_per_sec = BATCH / dt
+    vs_baseline = (
+        seq_per_sec / REFERENCE_SEQ_PER_SEC if REFERENCE_SEQ_PER_SEC else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "rmcl_manipose_243f_train_throughput",
+                "value": round(seq_per_sec, 3),
+                "unit": "seq/s",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,307 @@
+"""MixSTE spatio-temporal transformer trunk (flax.linen).
+
+TPU-first rebuild of the reference MixSTE
+(``hpe/mh_so3_hpe/architectures/mix_ste.py:12-191``): alternating
+spatial attention over J joints (batch folded as B*L) and temporal
+attention over L frames (batch folded as B*J), depth x 2 blocks, shared
+post-block LayerNorms, learned positional tables, LayerNorm+Linear head.
+
+Numerics parity notes:
+- block/shared LayerNorms use eps=1e-6 (``mix_ste.py:49``) but the head's
+  LayerNorm uses the torch default eps=1e-5 (``mix_ste.py:124``);
+- GELU is the exact erf form (torch ``nn.GELU`` default);
+- attention scale is head_dim**-0.5, or 8/head_dim under muP
+  (``mix_ste.py:243,396``), overridable via qk_scale;
+- residual scale is 1/sqrt(depth) under muP else 1 (``mix_ste.py:330``);
+- stochastic depth rates follow linspace(0, drop_path_rate, depth).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.attention import multi_head_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class MixSTEConfig:
+    """Hyper-parameters of one MixSTE trunk (``mix_ste.py:13-29``)."""
+
+    num_frame: int = 243
+    num_joints: int = 17
+    in_chans: int = 2
+    out_dim: int = 3
+    embed_dim: int = 512
+    depth: int = 8
+    num_heads: int = 8
+    mlp_ratio: float = 2.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.2
+    mup: bool = False
+    # TPU policy knobs (no reference counterpart)
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    def drop_path_rates(self):
+        return np.linspace(0.0, self.drop_path_rate, self.depth).tolist()
+
+
+class Mlp(nn.Module):
+    """Dense -> GELU(exact) -> drop -> Dense -> drop (``mix_ste.py:194-222``)."""
+
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention (``mix_ste.py:225-282``)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    comb: bool = False
+    mup: bool = False
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        default_scale = (8.0 / head_dim) if self.mup else head_dim**-0.5
+        scale = self.qk_scale or default_scale
+
+        qkv = nn.Dense(
+            self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
+        )(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, h, N, d)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        dropout_rng = None
+        if not deterministic and self.attn_drop > 0.0:
+            dropout_rng = self.make_rng("dropout")
+        out = multi_head_attention(
+            q,
+            k,
+            v,
+            scale,
+            comb=self.comb,
+            dropout_rate=self.attn_drop,
+            dropout_rng=dropout_rng,
+            deterministic=deterministic,
+            impl=self.attn_impl,
+        )
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm semantics; train only)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep_prob = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        keep = jax.random.bernoulli(rng, keep_prob, shape)
+        return jnp.where(keep, x / keep_prob, 0.0)
+
+
+class Block(nn.Module):
+    """Pre-norm attention + MLP block with residual scaling
+    (``mix_ste.py:285-368``; the dormant changedim path is not used by
+    any reference config and is not reproduced)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 2.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    comb: bool = False
+    residual_scale: float = 1.0
+    mup: bool = False
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        attn_out = Attention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            comb=self.comb,
+            mup=self.mup,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="attn",
+        )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x),
+          deterministic)
+        x = x * self.residual_scale + DropPath(self.drop_path, name="drop_path1")(
+            attn_out, deterministic
+        )
+        mlp_out = Mlp(
+            hidden_features=int(self.dim * self.mlp_ratio),
+            out_features=self.dim,
+            drop=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x),
+          deterministic)
+        x = x * self.residual_scale + DropPath(self.drop_path, name="drop_path2")(
+            mlp_out, deterministic
+        )
+        return x
+
+
+class MixSTE(nn.Module):
+    """Full MixSTE trunk. Input (B, L, J, in_chans) -> (B, L, J, out_dim).
+
+    ``use_patch_embed=False`` + pre-embedded input reproduces the
+    BonesMixSTE trunk (``manifold_mix_ste.py:133-150``).
+    ``apply_head=False`` returns trunk features for external heads
+    (rMCL, ``rmcl_manifold_mix_ste.py:239-250``).
+    """
+
+    cfg: MixSTEConfig
+    use_patch_embed: bool = True
+    apply_head: bool = True
+
+    def setup(self):
+        cfg = self.cfg
+        residual_scale = (1.0 / np.sqrt(cfg.depth)) if cfg.mup else 1.0
+        dpr = cfg.drop_path_rates()
+
+        if self.use_patch_embed:
+            self.spatial_embed = nn.Dense(
+                cfg.embed_dim, dtype=cfg.dtype, name="spatial_embed"
+            )
+        self.spatial_pos_embed = self.param(
+            "spatial_pos_embed",
+            nn.initializers.zeros,
+            (1, cfg.num_joints, cfg.embed_dim),
+        )
+        self.temporal_pos_embed = self.param(
+            "temporal_pos_embed",
+            nn.initializers.zeros,
+            (1, cfg.num_frame, cfg.embed_dim),
+        )
+        self.pos_drop = nn.Dropout(cfg.drop_rate)
+
+        common = dict(
+            dim=cfg.embed_dim,
+            num_heads=cfg.num_heads,
+            mlp_ratio=cfg.mlp_ratio,
+            qkv_bias=cfg.qkv_bias,
+            qk_scale=cfg.qk_scale,
+            drop=cfg.drop_rate,
+            attn_drop=cfg.attn_drop_rate,
+            residual_scale=residual_scale,
+            mup=cfg.mup,
+            dtype=cfg.dtype,
+            attn_impl=cfg.attn_impl,
+        )
+        self.ste_blocks = [
+            Block(drop_path=dpr[i], comb=False, name=f"ste_block_{i}", **common)
+            for i in range(cfg.depth)
+        ]
+        self.tte_blocks = [
+            Block(drop_path=dpr[i], comb=False, name=f"tte_block_{i}", **common)
+            for i in range(cfg.depth)
+        ]
+        self.spatial_norm = nn.LayerNorm(
+            epsilon=1e-6, dtype=cfg.dtype, name="spatial_norm"
+        )
+        self.temporal_norm = nn.LayerNorm(
+            epsilon=1e-6, dtype=cfg.dtype, name="temporal_norm"
+        )
+        if self.apply_head:
+            # torch-default eps here (``mix_ste.py:123-126``)
+            self.head_norm = nn.LayerNorm(
+                epsilon=1e-5, dtype=cfg.dtype, name="head_norm"
+            )
+            self.head = nn.Dense(cfg.out_dim, dtype=cfg.dtype, name="head")
+
+    def _spatial(self, x, i, deterministic):
+        """One spatial block on (B, L, J, C): fold L into batch."""
+        b, l, j, c = x.shape
+        x = x.reshape(b * l, j, c)
+        x = self.ste_blocks[i](x, deterministic)
+        x = self.spatial_norm(x)
+        return x.reshape(b, l, j, c)
+
+    def _temporal(self, x, i, deterministic):
+        """One temporal block on (B, L, J, C): fold J into batch."""
+        b, l, j, c = x.shape
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * j, l, c)
+        x = self.tte_blocks[i](x, deterministic)
+        x = self.temporal_norm(x)
+        return jnp.transpose(x.reshape(b, j, l, c), (0, 2, 1, 3))
+
+    def trunk(self, x, deterministic: bool = True):
+        """(B, L, J, C_in) -> (B, L, J, embed_dim) features."""
+        cfg = self.cfg
+        b, l, j, _ = x.shape
+        assert l == cfg.num_frame, f"expected {cfg.num_frame} frames, got {l}"
+        assert j == cfg.num_joints, f"expected {cfg.num_joints} joints, got {j}"
+
+        x = x.astype(cfg.dtype)
+        if self.use_patch_embed:
+            x = self.spatial_embed(x)
+        # STE_forward (``mix_ste.py:128-145``)
+        x = x + self.spatial_pos_embed
+        x = self.pos_drop(x, deterministic)
+        x = self._spatial(x, 0, deterministic)
+        # TTE_foward (``mix_ste.py:147-155``)
+        c = x.shape[-1]
+        x = jnp.transpose(x, (0, 2, 1, 3))  # (B, J, L, C)
+        x = x + self.temporal_pos_embed
+        x = self.pos_drop(x, deterministic).reshape(b * j, l, c)
+        x = self.tte_blocks[0](x, deterministic)
+        x = self.temporal_norm(x)
+        x = jnp.transpose(x.reshape(b, j, l, c), (0, 2, 1, 3))
+        # ST_foward (``mix_ste.py:157-173``)
+        for i in range(1, cfg.depth):
+            x = self._spatial(x, i, deterministic)
+            x = self._temporal(x, i, deterministic)
+        return x
+
+    def __call__(self, x, deterministic: bool = True):
+        x = self.trunk(x, deterministic)
+        if self.apply_head:
+            x = self.head(self.head_norm(x))
+        return x

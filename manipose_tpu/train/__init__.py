@@ -1,0 +1,22 @@
+from .losses import LossConfig, compute_loss
+from .optim import (
+    CosineAnnealingLR,
+    ReduceLROnPlateau,
+    make_adam,
+    make_optimizer,
+    make_scheduler,
+)
+from .step import TrainState, make_eval_loss_step, make_train_step
+
+__all__ = [
+    "LossConfig",
+    "compute_loss",
+    "CosineAnnealingLR",
+    "ReduceLROnPlateau",
+    "make_adam",
+    "make_optimizer",
+    "make_scheduler",
+    "TrainState",
+    "make_eval_loss_step",
+    "make_train_step",
+]

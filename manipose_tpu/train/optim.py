@@ -1,0 +1,138 @@
+"""Optimizer and LR schedules with reference-exact semantics.
+
+- torch ``Adam(weight_decay=w)`` couples decay into the gradient *before*
+  the moment updates (not AdamW); the optax equivalent chains
+  ``add_decayed_weights`` ahead of ``scale_by_adam``
+  (``hpe/main_h36m_lifting.py:234-238``).
+- Both reference schedulers step once per *validation* epoch, not per
+  training epoch (``main_h36m_lifting.py:400-403`` sits inside the
+  valid_epoch_interval block). The LR therefore enters the jitted step as
+  a dynamic scalar driven by host-side scheduler state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import optax
+
+
+def make_adam(weight_decay: float = 1e-6) -> optax.GradientTransformation:
+    """torch-semantics Adam; LR is injected per-step via inject_hyperparams."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-1.0),  # descent; LR applied separately
+    )
+
+
+def make_optimizer(weight_decay: float = 1e-6) -> optax.GradientTransformation:
+    """Adam whose learning rate is a runtime scalar (schedulers run on host)."""
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale(-learning_rate),
+        )
+    )(learning_rate=0.0)
+
+
+class CosineAnnealingLR:
+    """torch ``CosineAnnealingLR`` recurrence (closed form), stepped per
+    validation epoch (``main_h36m_lifting.py:245-251,400-403``)."""
+
+    def __init__(self, base_lr: float, t_max: int, eta_min: float = 0.0):
+        self.base_lr = base_lr
+        self.t_max = t_max
+        self.eta_min = eta_min
+        self._step = 0
+
+    @property
+    def lr(self) -> float:
+        return (
+            self.eta_min
+            + (self.base_lr - self.eta_min)
+            * (1 + math.cos(math.pi * self._step / self.t_max))
+            / 2
+        )
+
+    def step(self, metric: Optional[float] = None) -> None:
+        self._step += 1
+
+    def state_dict(self):
+        return {"step": self._step}
+
+    def load_state_dict(self, state):
+        self._step = state["step"]
+
+
+class ReduceLROnPlateau:
+    """torch ``ReduceLROnPlateau(mode=min, threshold_mode=rel)`` semantics
+    (``main_h36m_lifting.py:252-260``). The reference feeds it
+    ``best_valid_loss`` — replicate by passing whatever the driver passes.
+    """
+
+    def __init__(
+        self,
+        base_lr: float,
+        factor: float = 0.5,
+        patience: int = 11,
+        threshold: float = 0.1,
+        min_lr: float = 0.0,
+    ):
+        self.lr = base_lr
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.best = math.inf
+        self.num_bad_epochs = 0
+
+    def step(self, metric: float) -> None:
+        if metric < self.best * (1 - self.threshold):
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.num_bad_epochs > self.patience:
+            self.lr = max(self.lr * self.factor, self.min_lr)
+            self.num_bad_epochs = 0
+
+    def state_dict(self):
+        return {
+            "lr": self.lr,
+            "best": self.best,
+            "num_bad_epochs": self.num_bad_epochs,
+        }
+
+    def load_state_dict(self, state):
+        self.lr = state["lr"]
+        self.best = state["best"]
+        self.num_bad_epochs = state["num_bad_epochs"]
+
+
+def make_scheduler(
+    kind: str,
+    base_lr: float,
+    epochs: int = 200,
+    n_annealing: int = 1,
+    lr_min: float = 0.0,
+    lr_patience: int = 11,
+    lr_threshold: float = 0.1,
+):
+    """Factory mirroring ``main_h36m_lifting.py:244-265``."""
+    if kind == "cosine":
+        return CosineAnnealingLR(base_lr, t_max=epochs // n_annealing, eta_min=lr_min)
+    if kind == "plateau":
+        return ReduceLROnPlateau(
+            base_lr,
+            factor=0.5,
+            patience=lr_patience,
+            threshold=lr_threshold,
+            min_lr=lr_min,
+        )
+    raise ValueError(
+        f"Accepted lr_scheduler values are 'cosine' and 'plateau'. Got {kind}."
+    )
