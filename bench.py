@@ -53,14 +53,17 @@ def main():
     step = make_train_step(model.apply, LossConfig(rmcl=True), skel, tx)
 
     # warmup / compile
-    state, metrics = step(state, x, y, 4e-5)
-    jax.block_until_ready(metrics["loss"])
+    for _ in range(2):
+        state, metrics = step(state, x, y, 4e-5)
+        jax.block_until_ready(state.params)
 
+    # block on the full updated state every step: blocking only on the
+    # loss scalar has produced wildly optimistic timings on this backend
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, x, y, 4e-5)
-    jax.block_until_ready(metrics["loss"])
+        jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / n_steps
 
     seq_per_sec = BATCH / dt

@@ -1,0 +1,136 @@
+"""Shared driver plumbing: model factory, loaders, subject splits.
+
+Rebuild of the helper layer of ``hpe/main_h36m_lifting.py:511-708``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import PoseSequenceDataset, SequenceLoader
+from ..geometry.h36m import TEST_SUBJECTS, TRAIN_SUBJECTS
+from ..geometry.skeleton import Skeleton
+from ..models import (
+    ManifoldConfig,
+    ManifoldMixSTE,
+    MixSTE,
+    MixSTEConfig,
+    RMCLManifoldMixSTE,
+)
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def instantiate_model(cfg: Config, skeleton: Skeleton):
+    """Model factory (``main_h36m_lifting.py:613-670``). Returns
+    (flax module, is_rmcl)."""
+    m = cfg.model
+    dtype = _DTYPES[m.get("dtype", "float32")]
+    attn_impl = m.get("attn_impl", "xla")
+    if m.arch == "mixste":
+        model = MixSTE(
+            MixSTEConfig(
+                num_frame=cfg.data.seq_len,
+                num_joints=skeleton.num_joints,
+                in_chans=2,
+                out_dim=3,
+                num_heads=m.nheads,
+                depth=m.layers,
+                embed_dim=m.channels,
+                drop_path_rate=m.drop_path_rate,
+                mup=m.mup,
+                dtype=dtype,
+                attn_impl=attn_impl,
+            )
+        )
+        return model, False
+    manifold_cfg = ManifoldConfig(
+        num_frame=cfg.data.seq_len,
+        num_joints=skeleton.num_joints,
+        num_bones=skeleton.num_bones,
+        in_chans=2,
+        rot_rep_dim=m.rot_dim,
+        num_heads_rot=m.nheads,
+        depth_rot=m.layers,
+        embed_dim_rot=m.channels,
+        num_heads_seg=m.nheads_seg,
+        depth_seg=m.layers_seg,
+        embed_dim_seg=m.channels_seg,
+        drop_path_rate=m.drop_path_rate,
+        n_hyp=cfg.multi_hyp.n_hyp,
+        mup=m.mup,
+        dtype=dtype,
+        attn_impl=attn_impl,
+    )
+    if m.arch == "manifold":
+        return ManifoldMixSTE(manifold_cfg, skeleton), False
+    if m.arch == "rmcl_manifold":
+        return RMCLManifoldMixSTE(manifold_cfg, skeleton), True
+    raise ValueError(
+        "Only MixSTE, Manifold-MixSTE and RMCL-Manifold-MixSTE implemented"
+        f" for now. Got option {m.arch}."
+    )
+
+
+def init_model_params(model, cfg: Config, num_joints: int):
+    x = jnp.zeros((1, cfg.data.seq_len, num_joints, 2), jnp.float32)
+    return model.init(jax.random.PRNGKey(cfg.run.seed), x)
+
+
+def get_subjects_and_actions(dataset, cfg: Config):
+    """(``main_h36m_lifting.py:543-566``)"""
+    if cfg.data.use_valid:
+        subjects_train = list(TRAIN_SUBJECTS[:-1])
+        subjects_val = list(TRAIN_SUBJECTS[-1:])
+    else:
+        subjects_train = list(TRAIN_SUBJECTS)
+        subjects_val = []
+    subjects_test = list(TEST_SUBJECTS)
+    if cfg.data.data == "one":
+        subjects_train = [subjects_train[0]]
+    action_filter = (
+        None if cfg.data.actions == "*" else cfg.data.actions.split(",")
+    )
+    if action_filter is not None:
+        action_filter = [dataset.define_actions(a)[0] for a in action_filter]
+    return [subjects_train, subjects_val, subjects_test], action_filter
+
+
+def create_loader(
+    keypoints,
+    dataset,
+    action_filter,
+    subjects: Sequence[str],
+    cfg: Config,
+    train: bool = True,
+) -> SequenceLoader:
+    """(``main_h36m_lifting.py:569-610``)"""
+    from ..data import fetch
+
+    poses, poses_2d, _, cameras = fetch(
+        subjects, dataset, keypoints, action_filter
+    )
+    ds = PoseSequenceDataset(
+        poses,
+        poses_2d,
+        cameras,
+        seq_len=cfg.data.seq_len,
+        random_start=train,
+        miss_type=cfg.data.miss_type,
+        miss_rate=cfg.data.miss_rate,
+        noise_sigma=cfg.data.noise_sigma,
+        skeleton=dataset.skeleton,
+        flip_probability=0.5 if (train and cfg.train.flip_aug) else 0.0,
+    )
+    return SequenceLoader(
+        ds,
+        batch_size=cfg.train.batch_size if train else cfg.train.batch_size_test,
+        shuffle=train,
+        seed=cfg.run.seed,
+    )

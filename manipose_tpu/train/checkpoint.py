@@ -1,0 +1,208 @@
+"""Checkpointing: orbax save/restore + torch ``.pth`` conversion.
+
+The reference saves ``model{tag}.pth`` + ``params{tag}.pth`` per tag
+(best_val / best_mpjpe / best_oracle_mpjpe / best_ps_oracle_mpjpe / end,
+``hpe/main_h36m_lifting.py:75-98``) and ships released checkpoints
+(``manipose_h36m.pth``). ``convert_torch_state_dict`` maps those
+state-dicts onto this package's flax param trees so released weights
+reproduce reference numbers on TPU.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+# ---------------------------------------------------------------------------
+# Orbax save/restore
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(directory, tag: str, state) -> None:
+    """Save a pytree (params or TrainState) under ``directory/tag``."""
+    assert _HAS_ORBAX
+    path = Path(directory).resolve() / tag
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def restore_checkpoint(directory, tag: str, target):
+    """Restore a pytree saved by :func:`save_checkpoint`."""
+    assert _HAS_ORBAX
+    path = Path(directory).resolve() / tag
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, target)
+
+
+# ---------------------------------------------------------------------------
+# torch -> flax conversion
+# ---------------------------------------------------------------------------
+
+def _strip_wrappers(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Unwrap ``{"model_pos": ...}`` and ``module.``-prefixed keys
+    (``main_h36m_lifting.py:755-761`` + DataParallel)."""
+    if "model_pos" in state_dict and isinstance(state_dict["model_pos"], dict):
+        state_dict = state_dict["model_pos"]
+    return {re.sub(r"^module\.", "", k): v for k, v in state_dict.items()}
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _convert_trunk(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    """Map one torch MixSTE trunk (``mix_ste.py:12-126``) to our MixSTE.
+
+    torch Linear weights are (out, in) -> flax kernels (in, out).
+    """
+    out: Dict[str, Any] = {}
+
+    def linear(torch_name, flax_name):
+        w = sd.get(f"{prefix}{torch_name}.weight")
+        if w is None:
+            return
+        out[flax_name] = {
+            "kernel": _np(w).T,
+            "bias": _np(sd[f"{prefix}{torch_name}.bias"]),
+        }
+
+    def layernorm(torch_name, flax_name):
+        w = sd.get(f"{prefix}{torch_name}.weight")
+        if w is None:
+            return
+        out[flax_name] = {
+            "scale": _np(w),
+            "bias": _np(sd[f"{prefix}{torch_name}.bias"]),
+        }
+
+    linear("Spatial_patch_to_embedding", "spatial_embed")
+    if f"{prefix}Spatial_pos_embed" in sd:
+        out["spatial_pos_embed"] = _np(sd[f"{prefix}Spatial_pos_embed"])
+        out["temporal_pos_embed"] = _np(sd[f"{prefix}Temporal_pos_embed"])
+    layernorm("Spatial_norm", "spatial_norm")
+    layernorm("Temporal_norm", "temporal_norm")
+    # head = Sequential(LayerNorm, Linear) (``mix_ste.py:123-126``)
+    layernorm("head.0", "head_norm")
+    linear("head.1", "head")
+
+    depth = 0
+    while f"{prefix}STEblocks.{depth}.norm1.weight" in sd:
+        depth += 1
+    for blocks, name in (("STEblocks", "ste_block"), ("TTEblocks", "tte_block")):
+        for i in range(depth):
+            bp = f"{blocks}.{i}."
+            block: Dict[str, Any] = {}
+            for ln in ("norm1", "norm2"):
+                block[ln] = {
+                    "scale": _np(sd[f"{prefix}{bp}{ln}.weight"]),
+                    "bias": _np(sd[f"{prefix}{bp}{ln}.bias"]),
+                }
+            block["attn"] = {
+                "qkv": {
+                    "kernel": _np(sd[f"{prefix}{bp}attn.qkv.weight"]).T,
+                    "bias": _np(sd[f"{prefix}{bp}attn.qkv.bias"]),
+                },
+                "proj": {
+                    "kernel": _np(sd[f"{prefix}{bp}attn.proj.weight"]).T,
+                    "bias": _np(sd[f"{prefix}{bp}attn.proj.bias"]),
+                },
+            }
+            block["mlp"] = {
+                "fc1": {
+                    "kernel": _np(sd[f"{prefix}{bp}mlp.fc1.weight"]).T,
+                    "bias": _np(sd[f"{prefix}{bp}mlp.fc1.bias"]),
+                },
+                "fc2": {
+                    "kernel": _np(sd[f"{prefix}{bp}mlp.fc2.weight"]).T,
+                    "bias": _np(sd[f"{prefix}{bp}mlp.fc2.bias"]),
+                },
+            }
+            out[f"{name}_{i}"] = block
+    return out
+
+
+def _convert_mcl_heads(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    """torch ModuleList of MCLHead (``rmcl_manifold_mix_ste.py:267-298``)
+    -> stacked-parameter ``MCLHeads``."""
+    n_hyp = 0
+    while f"{prefix}head.{n_hyp}.norm.weight" in sd:
+        n_hyp += 1
+    assert n_hyp > 0, "no MCL heads found in state dict"
+    ln_scale, ln_bias = [], []
+    pred_k, pred_b, score_k, score_b = [], [], [], []
+    for h in range(n_hyp):
+        hp = f"{prefix}head.{h}."
+        ln_scale.append(_np(sd[f"{hp}norm.weight"]))
+        ln_bias.append(_np(sd[f"{hp}norm.bias"]))
+        pred_k.append(_np(sd[f"{hp}prediction_head.weight"]).T)
+        pred_b.append(_np(sd[f"{hp}prediction_head.bias"]))
+        score_k.append(_np(sd[f"{hp}score_head.weight"]).T)
+        score_b.append(_np(sd[f"{hp}score_head.bias"]))
+    return {
+        "ln_scale": np.stack(ln_scale),
+        "ln_bias": np.stack(ln_bias),
+        "pred_kernel": np.stack(pred_k),
+        "pred_bias": np.stack(pred_b),
+        "score_kernel": np.stack(score_k),
+        "score_bias": np.stack(score_b),
+    }
+
+
+def _convert_segments(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    """torch BonesMixSTE (``manifold_mix_ste.py:91-154``) ->
+    our ``BonesMixSTE`` (projection + trunk without patch embed)."""
+    return {
+        "joints_to_segments_proj": {
+            "kernel": _np(sd[f"{prefix}joints_to_segments_proj.weight"]).T,
+            "bias": _np(sd[f"{prefix}joints_to_segments_proj.bias"]),
+        },
+        "trunk": _convert_trunk(sd, prefix),
+    }
+
+
+def convert_torch_state_dict(state_dict: Dict[str, Any], arch: str) -> Dict:
+    """Convert a reference checkpoint state-dict to a flax variables dict.
+
+    arch: "mixste" | "manifold" | "rmcl_manifold"
+    (``main_h36m_lifting.py:613-670``).
+    """
+    sd = {k: _np(v) for k, v in _strip_wrappers(state_dict).items()}
+    if arch == "mixste":
+        params = _convert_trunk(sd, "")
+    elif arch == "manifold":
+        params = {
+            "rotations_module": _convert_trunk(sd, "rotations_module."),
+            "segments_module": _convert_segments(sd, "segments_module."),
+        }
+    elif arch == "rmcl_manifold":
+        params = {
+            "rotations_module": {
+                "trunk": _convert_trunk(sd, "rotations_module."),
+                "heads": _convert_mcl_heads(sd, "rotations_module."),
+            },
+            "segments_module": _convert_segments(sd, "segments_module."),
+        }
+    else:
+        raise ValueError(f"unknown arch: {arch}")
+    return {"params": jax.tree_util.tree_map(np.asarray, params)}
+
+
+def load_torch_checkpoint(path, arch: str) -> Dict:
+    """Load a ``.pth`` file and convert. Requires torch (CPU is fine)."""
+    import torch
+
+    checkpoint = torch.load(path, map_location="cpu", weights_only=False)
+    return convert_torch_state_dict(checkpoint, arch)

@@ -1,0 +1,197 @@
+"""Training orchestration: epochs, validation cadence, best-tag
+checkpoints, host-side LR scheduling.
+
+Rebuild of ``train()`` (``hpe/main_h36m_lifting.py:212-508``). Reference
+semantics kept deliberately:
+- both schedulers step once per *validation* epoch (``:400-403``)
+- the plateau scheduler is fed ``best_valid_loss`` (monotone), not the
+  current loss (``:401``)
+- checkpoint tags: best_val, best_mpjpe, best_oracle_mpjpe,
+  best_ps_oracle_mpjpe, end; best weights are reloaded at the end
+  (``:381-389,440-466,481-489,500-507``)
+- MPJPE eval every ``mpjpe_epoch_interval`` epochs on the valid loader.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ..data.pipeline import SequenceLoader
+from ..eval.engine import EvalConfig, evaluate
+from ..geometry.skeleton import Skeleton
+from ..utils.logging import MetricLogger
+from .checkpoint import save_checkpoint
+from .losses import LossConfig
+from .optim import make_optimizer, make_scheduler
+from .step import TrainState, make_eval_loss_step, make_train_step
+
+
+@dataclasses.dataclass
+class TrainResult:
+    best_mpjpe: float
+    state: TrainState
+    best_params: dict
+    train_loss: list
+    valid_loss: list
+
+
+def train(
+    apply_fn: Callable,
+    params,
+    cfg,
+    skeleton: Skeleton,
+    train_loader: SequenceLoader,
+    valid_loader: SequenceLoader,
+    output_dir,
+    rmcl: bool,
+    logger: Optional[MetricLogger] = None,
+    start_epoch: int = 0,
+    save_checkpoints: bool = True,
+) -> TrainResult:
+    """cfg is the full Config (run/train/... groups)."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    logger = logger or MetricLogger()
+    cfg_train = cfg.train
+
+    tx = make_optimizer(weight_decay=1e-6)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.run.seed))
+    scheduler = make_scheduler(
+        cfg_train.lr_scheduler,
+        base_lr=cfg_train.lr,
+        epochs=cfg_train.epochs,
+        n_annealing=cfg_train.n_annealing,
+        lr_min=cfg_train.lr_min,
+        lr_patience=cfg_train.lr_patience,
+        lr_threshold=cfg_train.lr_threshold,
+    )
+
+    loss_cfg = LossConfig(
+        sq_loss=cfg_train.sq_loss,
+        w_loss=cfg_train.w_loss,
+        vel_loss=cfg_train.vel_loss,
+        smooth_reg=cfg_train.smooth_reg,
+        rmcl_score_reg=cfg_train.rmcl_score_reg,
+        rigid_seg_reg=cfg_train.rigid_seg_reg,
+        rmcl=rmcl,
+    )
+    train_step = make_train_step(apply_fn, loss_cfg, skeleton, tx, donate=False)
+    val_step = make_eval_loss_step(apply_fn, loss_cfg, skeleton)
+    eval_cfg = EvalConfig(tta=cfg_train.tta, rmcl=rmcl, compute_oracle=rmcl)
+
+    best_valid_loss = 1e10
+    best_mpjpe = 1e10
+    best_oracle = 1e10
+    best_psoracle = 1e10
+    best_params = state.params
+    train_loss_hist, valid_loss_hist = [], []
+
+    def _ckpt(tag):
+        if save_checkpoints:
+            save_checkpoint(output_dir, tag, jax.device_get(state.params))
+
+    for epoch in range(start_epoch, cfg_train.epochs):
+        train_loader.set_epoch(epoch)
+        # --- train epoch ---
+        losses = []
+        term_sums: dict = {}
+        n_batches = 0
+        for batch in train_loader:
+            state, metrics = train_step(
+                state,
+                jax.numpy.asarray(batch.pose_2d),
+                jax.numpy.asarray(batch.pose_3d),
+                scheduler.lr,
+            )
+            losses.append(metrics["loss"])
+            for k, v in metrics.items():
+                term_sums.setdefault(k, []).append(v)
+            n_batches += 1
+        epoch_loss = float(np.mean([float(x) for x in losses]))
+        train_loss_hist.append(epoch_loss)
+        metrics_to_log = {"tr_loss": epoch_loss, "lr": scheduler.lr}
+        for k, vals in term_sums.items():
+            if k != "loss":
+                metrics_to_log[k] = float(np.mean([float(x) for x in vals]))
+
+        # --- validation loss ---
+        if (epoch + 1) % cfg_train.valid_epoch_interval == 0:
+            val_losses = []
+            for batch in valid_loader:
+                m = val_step(
+                    state.params,
+                    jax.numpy.asarray(batch.pose_2d),
+                    jax.numpy.asarray(batch.pose_3d),
+                )
+                val_losses.append(float(m["loss"]))
+            epoch_val = float(np.mean(val_losses)) if val_losses else np.inf
+            valid_loss_hist.append(epoch_val)
+            metrics_to_log["val_loss"] = epoch_val
+
+            if best_valid_loss > epoch_val:
+                best_valid_loss = epoch_val
+                _ckpt("best_val")
+                best_params = state.params
+                metrics_to_log.update(
+                    {"best_epoch_loss": epoch, "best_val_loss": epoch_val}
+                )
+            # reference steps the scheduler only on validation epochs and
+            # feeds plateau the best loss (``:400-403``)
+            scheduler.step(best_valid_loss)
+
+        # --- MPJPE eval ---
+        if (epoch + 1) % cfg_train.mpjpe_epoch_interval == 0:
+            results = evaluate(
+                apply_fn, state.params, valid_loader, skeleton, eval_cfg
+            )
+            mpjpe_val = results[2]
+            metrics_to_log["val_mpjpe"] = mpjpe_val
+            if rmcl:
+                oracle_val, psoracle_val = results[3], results[4]
+                metrics_to_log["val_oracle_mpjpe"] = oracle_val
+                metrics_to_log["val_ps_oracle_mpjpe"] = psoracle_val
+                if best_oracle > oracle_val:
+                    best_oracle = oracle_val
+                    _ckpt("best_oracle_mpjpe")
+                    metrics_to_log.update(
+                        {
+                            "best_epoch_oracle_mpjpe": epoch,
+                            "best_val_oracle_mpjpe": oracle_val,
+                        }
+                    )
+                if best_psoracle > psoracle_val:
+                    best_psoracle = psoracle_val
+                    _ckpt("best_ps_oracle_mpjpe")
+                    metrics_to_log.update(
+                        {
+                            "best_epoch_ps_oracle_mpjpe": epoch,
+                            "best_val_ps_oracle_mpjpe": psoracle_val,
+                        }
+                    )
+            if best_mpjpe > mpjpe_val:
+                best_mpjpe = mpjpe_val
+                _ckpt("best_mpjpe")
+                best_params = state.params
+                metrics_to_log.update(
+                    {"best_epoch_mpjpe": epoch, "best_val_mpjpe": best_mpjpe}
+                )
+
+        logger.log(metrics_to_log, step=epoch)
+
+    _ckpt("end")
+    np.save(output_dir / "train_loss.npy", np.asarray(train_loss_hist))
+    np.save(output_dir / "valid_loss.npy", np.asarray(valid_loss_hist))
+    # reload best weights (``:507``)
+    state = state.replace(params=best_params)
+    return TrainResult(
+        best_mpjpe=best_mpjpe,
+        state=state,
+        best_params=best_params,
+        train_loss=train_loss_hist,
+        valid_loss=valid_loss_hist,
+    )

@@ -27,6 +27,61 @@ if REF_ROOT not in sys.path:
     sys.path.insert(0, REF_ROOT)
 
 
+def install_reference_stubs():
+    """Make the reference *architectures* importable on CPU: stub timm
+    (DropPath) and mup (MuReadout=Linear), and patch the hardcoded-CUDA
+    ``normalize_vector`` (``rotation_tools.py:6-17``) with the same math
+    device-neutrally. Returns the patched rotation-matrix fn."""
+    import torch
+    import torch.nn as nn
+
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        ml = types.ModuleType("timm.models")
+        layers = types.ModuleType("timm.models.layers")
+
+        class DropPath(nn.Module):
+            def __init__(self, p):
+                super().__init__()
+                self.p = p
+
+            def forward(self, x):
+                if not self.training or self.p == 0.0:
+                    return x
+                keep = 1 - self.p
+                mask = torch.rand(x.shape[0], *([1] * (x.dim() - 1))) < keep
+                return x * mask / keep
+
+        layers.DropPath = DropPath
+        ml.layers = layers
+        timm.models = ml
+        sys.modules.update(
+            {"timm": timm, "timm.models": ml, "timm.models.layers": layers}
+        )
+    if "mup" not in sys.modules:
+        mup = types.ModuleType("mup")
+        mup.MuReadout = nn.Linear
+        sys.modules["mup"] = mup
+
+    rt = load_ref_module("mh_so3_hpe.architectures.utils.rotation_tools")
+
+    def normalize_vector(v):
+        mag = torch.sqrt(v.pow(2).sum(1))
+        mag = torch.max(mag, torch.tensor([1e-8]))
+        return v / mag.view(-1, 1)
+
+    def rot6d(poses):
+        x = normalize_vector(poses[:, 0:3])
+        z = normalize_vector(torch.cross(x, poses[:, 3:6], dim=1))
+        y = torch.cross(z, x, dim=1)
+        return torch.stack([x, y, z], dim=2)
+
+    rt.normalize_vector = normalize_vector
+    pd = load_ref_module("mh_so3_hpe.architectures.pose_decoder")
+    pd.compute_rotation_matrix_from_ortho6d = rot6d
+    return rot6d
+
+
 def load_ref_module(dotted_name: str):
     """Import a module from the reference tree, stubbing out package
     ``__init__``s that require unavailable deps (timm/mup).

@@ -1,0 +1,160 @@
+"""The golden parity test: convert a reference torch checkpoint and
+assert forward-pass equivalence between the torch reference model and
+this package's flax models, end to end (trunks + heads + FK decode)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from manipose_tpu.geometry import h36m_skeleton_17
+from manipose_tpu.models import (
+    ManifoldConfig,
+    ManifoldMixSTE,
+    MixSTE,
+    MixSTEConfig,
+    RMCLManifoldMixSTE,
+)
+from manipose_tpu.train.checkpoint import (
+    convert_torch_state_dict,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+from conftest import install_reference_stubs, load_ref_module
+from test_geometry import _reference_h36m_17
+
+install_reference_stubs()
+
+ref_mix_ste = load_ref_module("mh_so3_hpe.architectures.mix_ste")
+ref_manifold = load_ref_module("mh_so3_hpe.architectures.manifold_mix_ste")
+ref_rmcl = load_ref_module("mh_so3_hpe.architectures.rmcl_manifold_mix_ste")
+
+B, L, J = 2, 27, 17
+DIMS = dict(embed=64, depth=3, heads=4, embed_seg=32, depth_seg=2, n_hyp=3)
+
+
+def _input():
+    rng = np.random.default_rng(0)
+    return rng.normal(size=(B, L, J, 2)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def ref_skel():
+    return _reference_h36m_17()
+
+
+class TestMixSTEParity:
+    def test_forward_equivalence(self):
+        torch.manual_seed(0)
+        tmodel = ref_mix_ste.MixSTE(
+            num_frame=L, num_joints=J, in_chans=2, out_dim=3,
+            embed_dim=DIMS["embed"], depth=DIMS["depth"],
+            num_heads=DIMS["heads"], qkv_bias=True, drop_path_rate=0.1,
+        )
+        tmodel.eval()
+        x = _input()
+        with torch.no_grad():
+            ref_out = tmodel(torch.from_numpy(x)).numpy()
+
+        variables = convert_torch_state_dict(tmodel.state_dict(), "mixste")
+        cfg = MixSTEConfig(
+            num_frame=L, num_joints=J, embed_dim=DIMS["embed"],
+            depth=DIMS["depth"], num_heads=DIMS["heads"],
+        )
+        ours = MixSTE(cfg).apply(
+            jax.tree_util.tree_map(jnp.asarray, variables), jnp.asarray(x)
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-5)
+
+
+def _manifold_kwargs(ref_skel):
+    return dict(
+        skeleton=ref_skel, num_frame=L, num_joints=J, num_bones=16,
+        in_chans=2, rot_rep_dim=6,
+        embed_dim_rot=DIMS["embed"], depth_rot=DIMS["depth"],
+        num_heads_rot=DIMS["heads"],
+        embed_dim_seg=DIMS["embed_seg"], depth_seg=DIMS["depth_seg"],
+        num_heads_seg=DIMS["heads"],
+    )
+
+
+def _our_cfg():
+    return ManifoldConfig(
+        num_frame=L, num_joints=J, num_bones=16,
+        embed_dim_rot=DIMS["embed"], depth_rot=DIMS["depth"],
+        num_heads_rot=DIMS["heads"],
+        embed_dim_seg=DIMS["embed_seg"], depth_seg=DIMS["depth_seg"],
+        num_heads_seg=DIMS["heads"], n_hyp=DIMS["n_hyp"],
+    )
+
+
+class TestManifoldParity:
+    def test_forward_equivalence(self, ref_skel):
+        torch.manual_seed(1)
+        tmodel = ref_manifold.ManifoldMixSTE(**_manifold_kwargs(ref_skel))
+        tmodel.eval()
+        x = _input()
+        with torch.no_grad():
+            ref_out = tmodel(torch.from_numpy(x)).numpy()
+
+        variables = convert_torch_state_dict(tmodel.state_dict(), "manifold")
+        ours = ManifoldMixSTE(_our_cfg(), h36m_skeleton_17()).apply(
+            jax.tree_util.tree_map(jnp.asarray, variables), jnp.asarray(x)
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref_out, atol=5e-5)
+
+
+class TestRMCLParity:
+    def test_forward_equivalence(self, ref_skel):
+        torch.manual_seed(2)
+        tmodel = ref_rmcl.RMCLManifoldMixSTE(
+            n_hyp=DIMS["n_hyp"], **_manifold_kwargs(ref_skel)
+        )
+        tmodel.eval()
+        x = _input()
+        with torch.no_grad():
+            ref_poses, ref_scores = tmodel(torch.from_numpy(x))
+
+        variables = convert_torch_state_dict(
+            tmodel.state_dict(), "rmcl_manifold"
+        )
+        poses, scores = RMCLManifoldMixSTE(_our_cfg(), h36m_skeleton_17()).apply(
+            jax.tree_util.tree_map(jnp.asarray, variables), jnp.asarray(x)
+        )
+        np.testing.assert_allclose(
+            np.asarray(poses), ref_poses.numpy(), atol=5e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(scores), ref_scores.numpy(), atol=1e-5
+        )
+
+    def test_wrapped_and_dataparallel_keys(self, ref_skel):
+        torch.manual_seed(3)
+        tmodel = ref_rmcl.RMCLManifoldMixSTE(
+            n_hyp=DIMS["n_hyp"], **_manifold_kwargs(ref_skel)
+        )
+        sd = {"module." + k: v for k, v in tmodel.state_dict().items()}
+        wrapped = {"model_pos": sd}
+        variables = convert_torch_state_dict(wrapped, "rmcl_manifold")
+        heads = variables["params"]["rotations_module"]["heads"]
+        assert heads["pred_kernel"].shape == (
+            DIMS["n_hyp"], DIMS["embed"], 7,
+        )
+
+
+class TestOrbaxRoundtrip:
+    def test_save_restore(self, tmp_path):
+        rng = np.random.default_rng(4)
+        tree = {
+            "a": jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32)),
+            "nested": {"b": jnp.asarray(np.arange(5, dtype=np.int32))},
+        }
+        save_checkpoint(tmp_path, "best_val", tree)
+        restored = restore_checkpoint(tmp_path, "best_val", tree)
+        np.testing.assert_array_equal(np.asarray(restored["a"]), np.asarray(tree["a"]))
+        np.testing.assert_array_equal(
+            np.asarray(restored["nested"]["b"]), np.asarray(tree["nested"]["b"])
+        )
