@@ -1,0 +1,210 @@
+"""Toy experiments: distributions, models, losses, trainer, end-to-end
+learning quality (the models must actually solve the toy tasks)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from manipose_tpu.config import load_config
+from manipose_tpu.toy import (
+    ConstrainedMlpRmcl,
+    EasyDist,
+    HardBimodalDist,
+    LiftingDataset,
+    MixtureVonMises,
+    ToyMlp,
+    aggregate_toy_hypotheses,
+    calc_mpjpe,
+    calc_mpjpe_3d,
+    distance_to_circle,
+    std_length,
+    torus_angles_to_cartesian,
+    torus_cartesian_to_angles,
+    torus_scenario,
+    wta_with_scoring_l2_loss,
+)
+
+
+class TestDistributions:
+    def test_von_mises_mixture_pdf_integrates_to_one(self):
+        dist = MixtureVonMises(
+            weights=[2 / 3, 1 / 3], modes=[np.pi / 3, -np.pi / 3],
+            dispersions=[20, 20], random_state=0,
+        )
+        theta = np.linspace(-np.pi, np.pi, 20001)
+        integral = np.trapezoid(dist.pdf(theta), theta)
+        np.testing.assert_allclose(integral, 1.0, atol=1e-3)
+
+    def test_circle_lifting_samples_on_circle(self):
+        dist = EasyDist(radius=1.0, random_state=0)
+        x, y = dist.sample(500)
+        np.testing.assert_allclose(np.linalg.norm(y, axis=1), 1.0, atol=1e-6)
+        np.testing.assert_allclose(x, y[:, 0], atol=1e-9)
+
+    def test_bimodal_has_two_modes(self):
+        dist = HardBimodalDist(radius=1.0, random_state=0)
+        _, y = dist.sample(3000)
+        # y-coordinate signs split roughly 2:1
+        frac_pos = (y[:, 1] > 0).mean()
+        assert 0.55 < frac_pos < 0.78
+
+    def test_torus_samples_on_torus(self):
+        dist = torus_scenario(2.0, 1.0, random_state=0)
+        x, pts = dist.sample(400)
+        # torus equation: (sqrt(x^2+y^2) - R)^2 + z^2 = r^2
+        rr = np.sqrt(pts[:, 0] ** 2 + pts[:, 1] ** 2)
+        np.testing.assert_allclose(
+            (rr - 2.0) ** 2 + pts[:, 2] ** 2, 1.0, atol=1e-5
+        )
+        np.testing.assert_allclose(x, pts[:, [0, 2]], atol=1e-9)
+
+    def test_torus_angle_roundtrip(self):
+        rng = np.random.default_rng(0)
+        angles = rng.uniform(-np.pi, np.pi, size=(100, 2))
+        pts = torus_angles_to_cartesian(2.0, 1.0, angles)
+        back = torus_cartesian_to_angles(2.0, 1.0, pts)
+        np.testing.assert_allclose(
+            np.cos(back[:, 0]), np.cos(angles[:, 1]), atol=1e-6
+        )
+
+    def test_torus_pdf_integrates_to_one(self):
+        dist = torus_scenario(2.0, 1.0, random_state=0)
+        grid = np.linspace(-np.pi, np.pi, 201)
+        pp, tt = np.meshgrid(grid, grid)
+        pdf = dist.pdf(np.column_stack([pp.ravel(), tt.ravel()]))
+        integral = pdf.sum() * (grid[1] - grid[0]) ** 2
+        np.testing.assert_allclose(integral, 1.0, atol=1e-2)
+
+
+class TestToyLosses:
+    def test_wta_loss_matches_reference_math(self):
+        import torch
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(1)
+        hyps = rng.normal(size=(8, 5, 3)).astype(np.float32)
+        hyps[..., 2] = np.exp(hyps[..., 2])
+        hyps[..., 2] /= hyps[..., 2].sum(axis=1, keepdims=True)
+        y = rng.normal(size=(8, 2)).astype(np.float32)
+
+        ours = float(
+            wta_with_scoring_l2_loss(jnp.asarray(hyps), jnp.asarray(y), 0.1)
+        )
+        # torch oracle mirroring constrained_mlp_rmcl.py:81-103
+        th, ty = torch.from_numpy(hyps), torch.from_numpy(y)
+        base = ((th[..., :2] - ty[:, None]) ** 2).mean(dim=2)
+        wta, idx = base.min(dim=1)
+        gt = torch.zeros_like(base)
+        gt[torch.arange(8), idx] = 1.0
+        ref = wta.mean() + 0.1 * F.binary_cross_entropy(th[..., 2], gt)
+        np.testing.assert_allclose(ours, float(ref), rtol=1e-5)
+
+    def test_aggregate(self):
+        rng = np.random.default_rng(2)
+        hyps = rng.normal(size=(4, 3, 3)).astype(np.float32)
+        scores = np.exp(hyps[..., 2])
+        hyps[..., 2] = scores / scores.sum(axis=1, keepdims=True)
+        out = np.asarray(
+            aggregate_toy_hypotheses(jnp.asarray(hyps), "weighted_ave")
+        )
+        ref = (hyps[..., :2] * hyps[..., 2:]).sum(axis=1)
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+@pytest.mark.slow
+class TestToyEndToEnd:
+    def _cfg(self, out, extra=()):
+        return load_config(
+            "toy",
+            overrides=[
+                f"run.output_dir={out}",
+                "train.epochs=60",
+                "data.n_train=600",
+                "data.n_val=300",
+                "data.n_test=300",
+                *extra,
+            ],
+        )
+
+    def test_constrained_rmcl_solves_hard2(self, tmp_path):
+        """rMCL + manifold constraint: low MPJPE AND on-circle predictions
+        are the paper's Table-1 claim for this model class."""
+        from manipose_tpu.toy.main import main
+
+        cfg = self._cfg(
+            tmp_path,
+            ["data.scenario=hard-2", "model.arch=constrained_rmcl"],
+        )
+        main(cfg)
+        metrics = dict(
+            line.strip().split(": ")
+            for line in open(tmp_path / "default" / "metrics.txt")
+        )
+        # The weighted average necessarily lands between the two modes on a
+        # bimodal task (also true of the reference, which aggregates with
+        # weighted_ave); rMCL's claim is that the HYPOTHESES cover the
+        # modes (low oracle error) while each lies exactly on the circle.
+        assert np.isfinite(float(metrics["test_dtc"]))
+        hyps = np.load(tmp_path / "default" / "test_predictions.npy")
+        np.testing.assert_allclose(
+            np.linalg.norm(hyps[..., :2], axis=-1), 1.0, atol=1e-5
+        )
+        dist = HardBimodalDist(radius=1.0, random_state=42)
+        # regenerate the same test targets the driver evaluated on
+        dist.sample(600), dist.sample(300)  # train, val draws
+        _, y_test = dist.sample(300)
+        from manipose_tpu.toy import oracle_multihyp_mpjpe
+        import torch as _t  # metric expects arrays; use numpy variant
+
+        err = np.linalg.norm(
+            hyps[..., :2] - y_test[:, None], axis=2
+        ).min(axis=1).mean()
+        assert err < 0.15, f"oracle hypothesis error too high: {err}"
+
+    def test_plain_mlp_leaves_circle_on_hard2(self, tmp_path):
+        """The unconstrained MLP averages the two modes: larger
+        distance-to-circle (the paper's motivating failure)."""
+        from manipose_tpu.toy.main import main
+
+        cfg = self._cfg(tmp_path, ["data.scenario=hard-2", "model.arch=mlp"])
+        main(cfg)
+        metrics = dict(
+            line.strip().split(": ")
+            for line in open(tmp_path / "default" / "metrics.txt")
+        )
+        assert abs(float(metrics["test_dtc"])) > 0.02
+
+    def test_constrained_rmcl_torus(self, tmp_path):
+        from manipose_tpu.toy.main import main
+
+        cfg = self._cfg(
+            tmp_path,
+            ["data.scenario=torus-2Dto3D", "model.arch=constrained_rmcl",
+             "train.epochs=40"],
+        )
+        main(cfg)
+        metrics = dict(
+            line.strip().split(": ")
+            for line in open(tmp_path / "default" / "metrics.txt")
+        )
+        # constrained predictions lie on the torus -> segment lengths
+        # exactly constant
+        assert float(metrics["std_length_joint"]) < 1e-3
+        assert np.isfinite(float(metrics["test_mpjpe"]))
+
+    def test_diffusion_baseline_runs(self, tmp_path):
+        from manipose_tpu.toy.main import main
+
+        cfg = self._cfg(
+            tmp_path,
+            ["data.scenario=hard-2", "diffusion.enabled=true",
+             "train.epochs=20", "diffusion.num_steps=20"],
+        )
+        main(cfg)
+        metrics = dict(
+            line.strip().split(": ")
+            for line in open(tmp_path / "default" / "metrics.txt")
+        )
+        assert np.isfinite(float(metrics["test_mpjpe"]))
