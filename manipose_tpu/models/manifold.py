@@ -43,6 +43,7 @@ class ManifoldConfig:
     drop_path_rate: float = 0.2
     n_hyp: int = 5  # used by the rMCL subclass only
     mup: bool = False
+    mup_base_width: int = 64
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
 
@@ -62,6 +63,7 @@ class ManifoldConfig:
             attn_drop_rate=self.attn_drop_rate,
             drop_path_rate=self.drop_path_rate,
             mup=self.mup,
+            mup_base_width=self.mup_base_width,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
         )
@@ -84,6 +86,7 @@ class ManifoldConfig:
             attn_drop_rate=self.attn_drop_rate,
             drop_path_rate=self.drop_path_rate,
             mup=self.mup,
+            mup_base_width=self.mup_base_width,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
         )

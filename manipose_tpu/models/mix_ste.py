@@ -47,12 +47,22 @@ class MixSTEConfig:
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.2
     mup: bool = False
+    # muP base width (reference base-shape model uses channels=64,
+    # ``main_h36m_lifting.py:683-687``). Width-only muP: the reference's
+    # additional seq-len base-shape scaling is not reproduced.
+    mup_base_width: int = 64
     # TPU policy knobs (no reference counterpart)
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
 
     def drop_path_rates(self):
         return np.linspace(0.0, self.drop_path_rate, self.depth).tolist()
+
+    @property
+    def readout_div(self) -> float:
+        """MuReadout width multiplier: the readout input is divided by
+        fan_in/base_fan_in (mup's ``MuReadout.forward``)."""
+        return (self.embed_dim / self.mup_base_width) if self.mup else 1.0
 
 
 class Mlp(nn.Module):
@@ -91,7 +101,9 @@ class Attention(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
-        default_scale = (8.0 / head_dim) if self.mup else head_dim**-0.5
+        # muP scale is 1/d (``mix_ste.py:243``); the 8/d ``MuAttention``
+        # (``mix_ste.py:371-398``) is dead code never wired into Block.
+        default_scale = (1.0 / head_dim) if self.mup else head_dim**-0.5
         scale = self.qk_scale or default_scale
 
         qkv = nn.Dense(
@@ -303,5 +315,8 @@ class MixSTE(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         x = self.trunk(x, deterministic)
         if self.apply_head:
-            x = self.head(self.head_norm(x))
+            x = self.head_norm(x)
+            if self.cfg.mup:
+                x = x / self.cfg.readout_div  # MuReadout input scaling
+            x = self.head(x)
         return x

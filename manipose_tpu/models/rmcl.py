@@ -37,6 +37,10 @@ class MCLHeads(nn.Module):
     out_dim: int
     num_joints: int
     dtype: jnp.dtype = jnp.float32
+    # muP: prediction heads are MuReadouts over the (scaling) embed dim;
+    # the score head's fan_in is num_joints (fixed) so it is untouched.
+    mup: bool = False
+    mup_base_width: int = 64
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -59,6 +63,8 @@ class MCLHeads(nn.Module):
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
         x_hat = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        if self.mup:
+            x_hat = x_hat / (self.embed_dim / self.mup_base_width)
 
         kernel = ln_scale[:, :, None] * pred_kernel  # (H, C, D)
         bias = (
@@ -96,6 +102,8 @@ class RMCLRotMixSTE(nn.Module):
             out_dim=self.cfg.rot_rep_dim,
             num_joints=self.cfg.num_joints,
             dtype=self.cfg.dtype,
+            mup=self.cfg.mup,
+            mup_base_width=self.cfg.mup_base_width,
             name="heads",
         )(feats)
         scores = jax.nn.softmax(logits, axis=1)  # over hypotheses (:261-264)

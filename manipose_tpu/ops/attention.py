@@ -36,7 +36,9 @@ def multi_head_attention(
 
     Returns (B, N, h*d) merged-head output.
     """
-    if impl == "pallas" and not comb and deterministic:
+    # The fused kernel has a custom VJP, so it serves train + eval; it only
+    # lacks attention-probability dropout (rate 0 in every reference config).
+    if impl == "pallas" and not comb and (deterministic or dropout_rate == 0.0):
         from .pallas_attention import flash_attention
 
         out = flash_attention(q, k, v, scale)  # (B, h, N, d)

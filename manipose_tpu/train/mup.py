@@ -1,0 +1,81 @@
+"""muP (Maximal Update Parametrization) optimizer support.
+
+The reference uses ``mup.MuAdam`` + ``MuReadout`` + base shapes built
+from a channels=64 model (``hpe/main_h36m_lifting.py:673-695``). Here
+the same width-scaling rules are implemented directly:
+
+- hidden "matrix-like" weights (both fan_in and fan_out grow with the
+  embedding width: qkv/proj/fc1/fc2 kernels and the stacked MCL
+  prediction kernels) train with lr / width_mult;
+- vector-like params (biases, LayerNorms, positional tables) and weights
+  with a fixed fan_in (patch embeds, joints->segments projection, score
+  heads) keep the base lr;
+- readout scaling is handled in the models (input divided by
+  width_mult when ``mup=True``);
+- attention uses 1/d scores and residuals scale by 1/sqrt(depth) in the
+  blocks (``mix_ste.py:243,330``).
+
+Width-only muP: the reference's extra sequence-length base-shape axis
+("width-seq_scaling") is intentionally not reproduced.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+import optax
+
+# Param paths whose LR scales as 1/width_mult (hidden matrix-like).
+_MATRIX_LIKE = (
+    r"attn/qkv/kernel$",
+    r"attn/proj/kernel$",
+    r"mlp/fc1/kernel$",
+    r"mlp/fc2/kernel$",
+    r"heads/pred_kernel$",
+)
+
+
+def _is_matrix_like(path: str) -> bool:
+    return any(re.search(p, path) for p in _MATRIX_LIKE)
+
+
+def mup_lr_scales(params, width_mult: float):
+    """Per-param LR multiplier pytree."""
+
+    def scale(path, _):
+        p = jax.tree_util.keystr(path, simple=True, separator="/")
+        return (1.0 / width_mult) if _is_matrix_like(p) else 1.0
+
+    return jax.tree_util.tree_map_with_path(scale, params)
+
+
+def make_mup_optimizer(
+    params, width: int, base_width: int = 64, weight_decay: float = 1e-6
+) -> optax.GradientTransformation:
+    """MuAdam-semantics optimizer: torch-coupled weight decay + Adam with
+    per-param LR scaling; the global LR is injected per step like
+    :func:`manipose_tpu.train.optim.make_optimizer`."""
+    width_mult = width / base_width
+    scales = mup_lr_scales(params, width_mult)
+
+    def scale_by_mup():
+        def init_fn(params):
+            return optax.EmptyState()
+
+        def update_fn(updates, state, params=None):
+            updates = jax.tree_util.tree_map(
+                lambda u, s: u * s, updates, scales
+            )
+            return updates, state
+
+        return optax.GradientTransformation(init_fn, update_fn)
+
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            scale_by_mup(),
+            optax.scale(-learning_rate),
+        )
+    )(learning_rate=0.0)
