@@ -10,7 +10,9 @@ padding rows in the final batch so eval metrics stay exact.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, Optional
+import queue
+import threading
+from typing import Iterable, Iterator, Optional
 
 import numpy as np
 
@@ -65,20 +67,34 @@ class SequenceLoader:
             idx = order[start : start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 break
-            pose_2d, pose_3d = [], []
-            for i in idx:
-                p2, p3 = self.dataset.get(int(i), rng)
-                pose_2d.append(p2)
-                pose_3d.append(p3)
             valid = np.ones(self.batch_size, np.float32)
             n_pad = self.batch_size - len(idx)
             if n_pad > 0:
-                pose_2d += [pose_2d[-1]] * n_pad
-                pose_3d += [pose_3d[-1]] * n_pad
-                valid[len(idx):] = 0.0
-            yield Batch(
-                pose_2d=np.stack(pose_2d),
-                pose_3d=np.stack(pose_3d),
-                valid=valid,
-            )
+                idx = np.concatenate([idx, np.repeat(idx[-1:], n_pad)])
+                valid[self.batch_size - n_pad:] = 0.0
+            pose_2d, pose_3d = self.dataset.get_batch(idx, rng)
+            yield Batch(pose_2d=pose_2d, pose_3d=pose_3d, valid=valid)
         self._epoch += 1
+
+
+def prefetch(iterable: Iterable, size: int = 2) -> Iterator:
+    """Run an iterator in a background thread with a bounded queue so
+    host batch assembly overlaps device compute (the torch-DataLoader
+    worker role, in-process)."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterable:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item

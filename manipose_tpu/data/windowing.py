@@ -197,3 +197,71 @@ class PoseSequenceDataset:
             clip_2d = clip_2d * mask[..., None]
 
         return clip_2d.astype(np.float32), clip_3d.astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def get_batch(
+        self, indices: np.ndarray, rng: Optional[np.random.Generator] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Vectorized batch assembly via the native windowing core.
+
+        Same per-window semantics as :meth:`get` (random/sequential
+        starts, replicate padding, flip, miss masks), but gathers all
+        clips in one multithreaded C++ pass and applies masks in bulk.
+        RNG consumption order differs from the per-sample path (still
+        fully deterministic given the generator state).
+        """
+        from . import native
+
+        if rng is None:
+            rng = np.random.default_rng()
+        indices = np.asarray(indices)
+        video_idx = self._map_index_to_pose[indices]
+        if self.random_start:
+            highs = np.asarray(
+                [self._poses_3d[v].shape[0] - self.seq_len for v in video_idx]
+            )
+            starts = rng.integers(0, highs)
+        else:
+            starts = self._map_index_to_frame[indices]
+
+        clips_2d = native.gather_windows(
+            self._poses_2d, video_idx, starts, self.seq_len
+        )
+        clips_3d = native.gather_windows(
+            self._poses_3d, video_idx, starts, self.seq_len
+        )
+
+        if self.flip_probability > 0:
+            flip = rng.uniform(size=len(indices)) <= self.flip_probability
+            if flip.any():
+                f2, f3 = pose_flip(
+                    (clips_2d[flip], clips_3d[flip]), self.skeleton
+                )
+                clips_2d[flip] = f2
+                clips_3d[flip] = f3
+
+        n_joints = clips_2d.shape[2]
+        if self.miss_type == "noisy":
+            clips_2d = clips_2d + rng.normal(
+                0.0, self.noise_sigma, size=clips_2d.shape
+            ).astype(np.float32)
+        elif self.miss_type != "no_miss":
+            masks = np.empty((len(indices), self.seq_len, n_joints), np.float32)
+            for i in range(len(indices)):
+                miss_type, miss_rate = self.miss_type, self.miss_rate
+                if miss_type == "all":
+                    miss_type = str(rng.choice(list(POSSIBLE_MISS_TYPES_RATES)))
+                    miss_rate = POSSIBLE_MISS_TYPES_RATES[miss_type]
+                if miss_type == "noisy":
+                    masks[i] = 1.0
+                    clips_2d[i] += rng.normal(
+                        0.0, self.noise_sigma, size=clips_2d[i].shape
+                    ).astype(np.float32)
+                else:
+                    masks[i] = make_miss_mask(
+                        rng, self.seq_len, n_joints, miss_type, miss_rate
+                    )
+            clips_2d = native.apply_masks(
+                np.ascontiguousarray(clips_2d), masks
+            )
+        return clips_2d, clips_3d

@@ -46,6 +46,7 @@ class ManifoldConfig:
     mup_base_width: int = 64
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    remat: bool = False
 
     def rot_trunk_config(self) -> MixSTEConfig:
         return MixSTEConfig(
@@ -66,6 +67,7 @@ class ManifoldConfig:
             mup_base_width=self.mup_base_width,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat=self.remat,
         )
 
     def seg_trunk_config(self) -> MixSTEConfig:
@@ -89,6 +91,7 @@ class ManifoldConfig:
             mup_base_width=self.mup_base_width,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat=self.remat,
         )
 
 

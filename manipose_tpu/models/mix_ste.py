@@ -54,6 +54,9 @@ class MixSTEConfig:
     # TPU policy knobs (no reference counterpart)
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    # rematerialize blocks in the backward pass (trade FLOPs for HBM;
+    # enables much larger batches at 243 frames)
+    remat: bool = False
 
     def drop_path_rates(self):
         return np.linspace(0.0, self.drop_path_rate, self.depth).tolist()
@@ -247,12 +250,15 @@ class MixSTE(nn.Module):
             dtype=cfg.dtype,
             attn_impl=cfg.attn_impl,
         )
+        # static_argnums=(2,): `deterministic` stays a python bool under
+        # remat (arg 0 is self)
+        block_cls = nn.remat(Block, static_argnums=(2,)) if cfg.remat else Block
         self.ste_blocks = [
-            Block(drop_path=dpr[i], comb=False, name=f"ste_block_{i}", **common)
+            block_cls(drop_path=dpr[i], comb=False, name=f"ste_block_{i}", **common)
             for i in range(cfg.depth)
         ]
         self.tte_blocks = [
-            Block(drop_path=dpr[i], comb=False, name=f"tte_block_{i}", **common)
+            block_cls(drop_path=dpr[i], comb=False, name=f"tte_block_{i}", **common)
             for i in range(cfg.depth)
         ]
         self.spatial_norm = nn.LayerNorm(
@@ -294,14 +300,16 @@ class MixSTE(nn.Module):
         x = x.astype(cfg.dtype)
         if self.use_patch_embed:
             x = self.spatial_embed(x)
-        # STE_forward (``mix_ste.py:128-145``)
-        x = x + self.spatial_pos_embed
+        # STE_forward (``mix_ste.py:128-145``). Cast the fp32 positional
+        # tables to the compute dtype — otherwise the add silently promotes
+        # the whole residual stream to fp32 under bf16 policy.
+        x = x + self.spatial_pos_embed.astype(cfg.dtype)
         x = self.pos_drop(x, deterministic)
         x = self._spatial(x, 0, deterministic)
         # TTE_foward (``mix_ste.py:147-155``)
         c = x.shape[-1]
         x = jnp.transpose(x, (0, 2, 1, 3))  # (B, J, L, C)
-        x = x + self.temporal_pos_embed
+        x = x + self.temporal_pos_embed.astype(cfg.dtype)
         x = self.pos_drop(x, deterministic).reshape(b * j, l, c)
         x = self.tte_blocks[0](x, deterministic)
         x = self.temporal_norm(x)

@@ -203,4 +203,29 @@ def main(cfg: Config) -> Optional[float]:
                 f.write(f"{k}: {v}\n")
         print("\n".join(f"{k}: {v}" for k, v in metrics.items()))
 
+        # plots (``toy_experiment/main.py:303-325``)
+        from .plots import (
+            plot_predictions,
+            plot_torus_predictions,
+            plot_training_curve,
+        )
+
+        if enabled_3d:
+            plot_torus_predictions(
+                data.y_test, {cfg.model.arch: test_predictions},
+                output_dir / "predictions_plot.png",
+                major_radius=cfg.data.major_radius,
+                minor_radius=cfg.data.minor_radius,
+            )
+        else:
+            plot_predictions(
+                distribution, data.x_test, data.y_test,
+                {cfg.model.arch: test_predictions},
+                output_dir / "predictions_plot.png",
+            )
+        plot_training_curve(
+            trainer.loss_list, trainer.val_loss_list,
+            output_dir / "training.png",
+        )
+
     return metrics.get("val_mpjpe")

@@ -21,7 +21,7 @@ from typing import Callable, Optional
 import jax
 import numpy as np
 
-from ..data.pipeline import SequenceLoader
+from ..data.pipeline import SequenceLoader, prefetch
 from ..eval.engine import EvalConfig, evaluate
 from ..geometry.skeleton import Skeleton
 from ..utils.logging import MetricLogger
@@ -101,7 +101,7 @@ def train(
         losses = []
         term_sums: dict = {}
         n_batches = 0
-        for batch in train_loader:
+        for batch in prefetch(train_loader):
             state, metrics = train_step(
                 state,
                 jax.numpy.asarray(batch.pose_2d),

@@ -207,3 +207,41 @@ class TestLoader:
         l2.set_epoch(1)
         b3 = next(iter(l2))
         assert not np.array_equal(b1.pose_3d, b3.pose_3d)
+
+
+class TestLegacyGenerators:
+    def test_pose_generator(self):
+        from manipose_tpu.data.chunked import PoseGenerator
+
+        p3, p2 = _toy_videos()
+        actions = [["a"] * v.shape[0] for v in p3]
+        cams = [np.zeros((v.shape[0], 4), np.float32) for v in p3]
+        gen = PoseGenerator(p3, p2, actions, cams)
+        assert len(gen) == sum(v.shape[0] for v in p3)
+        out3, out2 = gen[0]
+        np.testing.assert_array_equal(out3, p3[0][0])
+        np.testing.assert_array_equal(out2, p2[0][0])
+
+    def test_chunked_generator_padding_and_flip(self):
+        from manipose_tpu.data.chunked import ChunkedGenerator
+        from manipose_tpu.geometry import h36m_skeleton_17
+
+        skel = h36m_skeleton_17()
+        rng = np.random.default_rng(5)
+        p3 = {"TS1": rng.normal(size=(21, 17, 3)).astype(np.float32)}
+        p2 = {"TS1": rng.normal(size=(21, 17, 2)).astype(np.float32)}
+        gen = ChunkedGenerator(
+            batch_size=4, cameras=None, poses_3d=p3, poses_2d=p2,
+            chunk_length=9, pad=2, augment=True,
+            kps_left=skel.joints_left, kps_right=skel.joints_right,
+            joints_left=skel.joints_left, joints_right=skel.joints_right,
+        )
+        batches = list(gen)
+        assert gen.num_frames() == 21
+        total = sum(b[1].shape[0] for b in batches)
+        # 3 chunks x 2 variants (plain + flip)
+        assert total == 6
+        _, b3, b2, keys = batches[0]
+        assert b2.shape[1] == 9 + 2 * 2  # chunk + 2*pad
+        assert b3.shape[1] == 9
+        assert keys[0] == "TS1"
