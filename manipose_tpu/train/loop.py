@@ -28,6 +28,7 @@ from ..utils.logging import MetricLogger
 from .checkpoint import save_checkpoint
 from .losses import LossConfig
 from .optim import make_optimizer, make_scheduler
+from .profiling import ThroughputMeter
 from .step import TrainState, make_eval_loss_step, make_train_step
 
 
@@ -54,6 +55,10 @@ def train(
     save_checkpoints: bool = True,
 ) -> TrainResult:
     """cfg is the full Config (run/train/... groups)."""
+    import json
+
+    from .checkpoint import restore_checkpoint
+
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     logger = logger or MetricLogger()
@@ -70,6 +75,18 @@ def train(
         lr_patience=cfg_train.lr_patience,
         lr_threshold=cfg_train.lr_threshold,
     )
+
+    # resume optimizer + scheduler + epoch (reference run.checkpoint_params,
+    # ``main_h36m_lifting.py:225,239-241,267-269,283-285``)
+    resume_from = cfg.run.get("checkpoint_params", "")
+    if resume_from:
+        resume_dir = Path(resume_from)
+        state = restore_checkpoint(resume_dir, "train_state", state)
+        with open(resume_dir / "train_state" / "host_state.json") as f:
+            host = json.load(f)
+        scheduler.load_state_dict(host["scheduler"])
+        start_epoch = host["epoch"]
+        print(f"Resumed training state from {resume_dir} @ epoch {start_epoch}")
 
     loss_cfg = LossConfig(
         sq_loss=cfg_train.sq_loss,
@@ -91,10 +108,20 @@ def train(
     best_params = state.params
     train_loss_hist, valid_loss_hist = [], []
 
-    def _ckpt(tag):
-        if save_checkpoints:
-            save_checkpoint(output_dir, tag, jax.device_get(state.params))
+    def _ckpt(tag, epoch=None):
+        if not save_checkpoints:
+            return
+        save_checkpoint(output_dir, tag, jax.device_get(state.params))
+        if epoch is not None:
+            # full train state for resume (reference params{tag}.pth:
+            # optimizer + scheduler + epoch, ``main_h36m_lifting.py:89-95``)
+            save_checkpoint(output_dir, "train_state", jax.device_get(state))
+            with open(output_dir / "train_state" / "host_state.json", "w") as f:
+                json.dump(
+                    {"scheduler": scheduler.state_dict(), "epoch": epoch}, f
+                )
 
+    meter = ThroughputMeter()
     for epoch in range(start_epoch, cfg_train.epochs):
         train_loader.set_epoch(epoch)
         # --- train epoch ---
@@ -102,6 +129,7 @@ def train(
         term_sums: dict = {}
         n_batches = 0
         for batch in prefetch(train_loader):
+            meter.step(batch.batch_size)
             state, metrics = train_step(
                 state,
                 jax.numpy.asarray(batch.pose_2d),
@@ -114,7 +142,11 @@ def train(
             n_batches += 1
         epoch_loss = float(np.mean([float(x) for x in losses]))
         train_loss_hist.append(epoch_loss)
-        metrics_to_log = {"tr_loss": epoch_loss, "lr": scheduler.lr}
+        metrics_to_log = {
+            "tr_loss": epoch_loss,
+            "lr": scheduler.lr,
+            "seq_per_sec": meter.seq_per_sec,
+        }
         for k, vals in term_sums.items():
             if k != "loss":
                 metrics_to_log[k] = float(np.mean([float(x) for x in vals]))
@@ -135,7 +167,7 @@ def train(
 
             if best_valid_loss > epoch_val:
                 best_valid_loss = epoch_val
-                _ckpt("best_val")
+                _ckpt("best_val", epoch=epoch + 1)
                 best_params = state.params
                 metrics_to_log.update(
                     {"best_epoch_loss": epoch, "best_val_loss": epoch_val}
@@ -183,7 +215,7 @@ def train(
 
         logger.log(metrics_to_log, step=epoch)
 
-    _ckpt("end")
+    _ckpt("end", epoch=cfg_train.epochs)
     np.save(output_dir / "train_loss.npy", np.asarray(train_loss_hist))
     np.save(output_dir / "valid_loss.npy", np.asarray(valid_loss_hist))
     # reload best weights (``:507``)

@@ -159,3 +159,28 @@ class TestH36MDriver:
         best = main(cfg)
         assert best is None  # train disabled -> no objective returned
         assert (tmp_path / "default" / "protocol_1_err.csv").exists()
+
+    def test_resume_from_checkpoint_params(self, synthetic_h36m, tmp_path):
+        """run.checkpoint_params restores optimizer/scheduler/epoch
+        (reference main_h36m_lifting.py:225,239-241,283-285)."""
+        from manipose_tpu.drivers.h36m import main
+
+        cfg = _cfg(synthetic_h36m, tmp_path, extra=["run.test=false"])
+        main(cfg)  # 1 epoch (train=debug), writes train_state
+        state_dir = tmp_path / "default"
+        assert (state_dir / "train_state" / "host_state.json").exists()
+
+        cfg2 = _cfg(
+            synthetic_h36m,
+            tmp_path / "resumed",
+            extra=[
+                "run.test=false",
+                "train.epochs=2",
+                f"run.checkpoint_params={state_dir}",
+            ],
+        )
+        best = main(cfg2)
+        assert best is not None and np.isfinite(best)
+        # resumed run trained only epoch 2 -> exactly one loss entry
+        losses = np.load(tmp_path / "resumed" / "default" / "train_loss.npy")
+        assert len(losses) == 1
