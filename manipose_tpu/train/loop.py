@@ -121,6 +121,9 @@ def train(
                     {"scheduler": scheduler.state_dict(), "epoch": epoch}, f
                 )
 
+    profile_dir = cfg.run.get("profile_dir", "")
+    if profile_dir:
+        jax.profiler.start_trace(str(profile_dir))
     meter = ThroughputMeter()
     for epoch in range(start_epoch, cfg_train.epochs):
         train_loader.set_epoch(epoch)
@@ -215,6 +218,8 @@ def train(
 
         logger.log(metrics_to_log, step=epoch)
 
+    if profile_dir:
+        jax.profiler.stop_trace()
     _ckpt("end", epoch=cfg_train.epochs)
     np.save(output_dir / "train_loss.npy", np.asarray(train_loss_hist))
     np.save(output_dir / "valid_loss.npy", np.asarray(valid_loss_hist))

@@ -245,3 +245,48 @@ class TestLegacyGenerators:
         assert b2.shape[1] == 9 + 2 * 2  # chunk + 2*pad
         assert b3.shape[1] == 9
         assert keys[0] == "TS1"
+
+
+class TestBackProjection:
+    def test_uvd2xyz_matches_reference(self):
+        import torch
+
+        rng = np.random.default_rng(9)
+        N, T, V = 2, 5, 17
+        uvd = rng.normal(size=(N, T, V, 3)).astype(np.float32)
+        f = rng.uniform(1.0, 2.0, size=(N, T)).astype(np.float32)
+        c = rng.normal(size=(N, T, 2)).astype(np.float32)
+        cam_dist = rng.uniform(4.0, 6.0, size=(N, T)).astype(np.float32)
+
+        from manipose_tpu.data import uvd2xyz
+
+        ours = uvd2xyz(uvd, f, c, cam_dist)
+        ref = ref_camera.uvd2xyz(
+            torch.from_numpy(uvd), torch.from_numpy(f),
+            torch.from_numpy(c), torch.from_numpy(cam_dist),
+        ).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_uvd2xyz_from_cam_matches_reference(self):
+        import torch
+
+        rng = np.random.default_rng(10)
+        N, T, V = 2, 4, 17
+        uvd = rng.normal(size=(N, T, V, 3)).astype(np.float32)
+        q = rng.normal(size=(N, T, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        cam = np.concatenate(
+            [
+                rng.uniform(1, 2, size=(N, T, 9)).astype(np.float32),
+                q,
+                rng.normal(size=(N, T, 3)).astype(np.float32),
+            ],
+            axis=-1,
+        )
+        from manipose_tpu.data import uvd2xyz_from_cam
+
+        ours = uvd2xyz_from_cam(uvd, cam)
+        ref = ref_camera.uvd2xyz_from_cam(
+            torch.from_numpy(uvd), torch.from_numpy(cam)
+        ).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
