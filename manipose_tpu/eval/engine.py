@@ -110,10 +110,11 @@ def make_eval_step(
         out["predictions"] = predictions
         out["sum_jointerr"] = masked_jointerr_sum(predictions)
         out["n_valid"] = jnp.sum(valid)
-        if cfg.rmcl and cfg.compute_oracle:
-            out["oracle_preds"] = oracle_preds
+        if cfg.rmcl:
             out["hypotheses"] = hyps
             out["scores"] = scores
+        if cfg.rmcl and cfg.compute_oracle:
+            out["oracle_preds"] = oracle_preds
             out["oracle_sum_jointerr"] = masked_jointerr_sum(oracle_preds) / j
             out["psoracle_sum_jointerr"] = masked_jointerr_sum(psoracle_preds) / j
         return out

@@ -41,7 +41,7 @@ def main(cfg):
     )
 
     archs = cfg.model.arch.split(",")
-    checkpoints = cfg.run.checkpoint_model.split(",")
+    checkpoints = (cfg.run.checkpoint_model or "").split(",")
     assert len(archs) == len(checkpoints), "one checkpoint per arch"
 
     anim_output = {}
