@@ -47,6 +47,9 @@ def flip_poses(poses: jnp.ndarray, skeleton: Skeleton) -> jnp.ndarray:
     return flipped.at[..., 0].multiply(-1.0)
 
 
+_EVAL_STEP_CACHE: dict = {}
+
+
 def make_eval_step(
     apply_fn: Callable,
     skeleton: Skeleton,
@@ -139,7 +142,14 @@ def evaluate(
     When ``return_hyps`` is set, predictions are the per-hypothesis poses
     (mm) concatenated with scores (``eval_utils.py:155-160``).
     """
-    step = make_eval_step(apply_fn, skeleton, cfg)
+    # memoize the jitted step: the drivers call evaluate() repeatedly
+    # (per action / per eval epoch) with the same (apply_fn, skeleton,
+    # cfg) — rebuilding the closure would force a recompile each time
+    cache_key = (apply_fn, skeleton, cfg)
+    step = _EVAL_STEP_CACHE.get(cache_key)
+    if step is None:
+        step = make_eval_step(apply_fn, skeleton, cfg)
+        _EVAL_STEP_CACHE[cache_key] = step
     all_preds, all_targets, all_oracle = [], [], []
     sum_err = 0.0
     oracle_sum = 0.0
@@ -175,6 +185,10 @@ def evaluate(
             psoracle_sum += float(out["psoracle_sum_jointerr"])
             all_oracle.append(np.asarray(out["oracle_preds"][keep]) * 1000.0)
 
+    assert n > 0 and seq_len is not None, (
+        "evaluate() received an empty loader (no windows: check seq_len vs "
+        "video lengths and the subject/action filters)"
+    )
     performance = sum_err / (n * seq_len * joints) * 1000.0
     if not compute_oracle:
         return all_preds, all_targets, performance

@@ -84,14 +84,25 @@ def h36m_skeleton_17() -> Skeleton:
 
 def h36m_skeleton_16() -> Skeleton:
     """16-joint variant: additionally drops 'Neck/Nose'
-    (``h36m_lifting.py:632-648``)."""
+    (``h36m_lifting.py:632-648``).
+
+    T-pose operators are RE-INDEXED for the removed joint: joints after
+    the dropped Neck/Nose (17-joint index 9) shift down by one. The
+    reference reuses its 17-joint-keyed dict unchanged
+    (``h36m_lifting.py:40-57``), silently giving the 16-joint LShoulder
+    the Head's (0,1,0) direction — a latent defect this build fixes.
+    """
     base = h36m_skeleton_32()
     remove = tuple(
         i for i, name in enumerate(H36M_NAMES_32) if name in ("", "Neck/Nose")
     )
     skel = base.remove_joints(remove)
     skel = skel.with_parent_rewired(10, 8).with_parent_rewired(13, 8)
+    ops16 = tuple(
+        _T_POSE_OPERATORS_REDUCED[j if j < 9 else j + 1]
+        for j in range(skel.num_joints)
+    )
     return skel.replace(
-        t_pose_operators=_T_POSE_OPERATORS_REDUCED[: skel.num_joints],
+        t_pose_operators=ops16,
         joints_group=JOINTS_GROUP_16,
     )

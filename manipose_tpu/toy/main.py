@@ -51,6 +51,14 @@ def build_model(cfg: Config, enabled_3d: bool):
     joints_prediction)."""
     act = ACTIVATIONS[cfg.model.act]
     m = cfg.model
+    if cfg.diffusion.enabled and enabled_3d:
+        # the diffusion baseline models a 2D target (DiffMlp out=2,
+        # reference diffusion.py:38-45); the reference would also produce
+        # shape-inconsistent metrics on the torus scenario
+        raise NotImplementedError(
+            "The diffusion baseline only supports the 1D->2D circle "
+            "scenarios (its denoiser predicts 2D targets)."
+        )
     if cfg.diffusion.enabled:
         model = LiftingDiffusionModel(
             hidden_features=m.hidden_features,

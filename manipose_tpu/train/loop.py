@@ -28,7 +28,7 @@ from ..utils.logging import MetricLogger
 from .checkpoint import save_checkpoint
 from .losses import LossConfig
 from .optim import make_optimizer, make_scheduler
-from .profiling import ThroughputMeter
+from .profiling import ThroughputMeter, trace
 from .step import TrainState, make_eval_loss_step, make_train_step
 
 
@@ -64,7 +64,19 @@ def train(
     logger = logger or MetricLogger()
     cfg_train = cfg.train
 
-    tx = make_optimizer(weight_decay=1e-6)
+    if cfg.model.get("mup", False):
+        # MuAdam semantics: per-param 1/width_mult LR on matrix-like
+        # weights (reference mup.MuAdam, ``main_h36m_lifting.py:228-231``)
+        from .mup import make_mup_optimizer
+
+        tx = make_mup_optimizer(
+            params,
+            width=cfg.model.channels,
+            base_width=cfg.model.get("mup_base_width", 64),
+            weight_decay=1e-6,
+        )
+    else:
+        tx = make_optimizer(weight_decay=1e-6)
     state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.run.seed))
     scheduler = make_scheduler(
         cfg_train.lr_scheduler,
@@ -108,119 +120,119 @@ def train(
     best_params = state.params
     train_loss_hist, valid_loss_hist = [], []
 
-    def _ckpt(tag, epoch=None):
+    def _ckpt(current_state, tag, epoch=None):
         if not save_checkpoints:
             return
-        save_checkpoint(output_dir, tag, jax.device_get(state.params))
+        save_checkpoint(output_dir, tag, jax.device_get(current_state.params))
         if epoch is not None:
             # full train state for resume (reference params{tag}.pth:
             # optimizer + scheduler + epoch, ``main_h36m_lifting.py:89-95``)
-            save_checkpoint(output_dir, "train_state", jax.device_get(state))
+            save_checkpoint(
+                output_dir, "train_state", jax.device_get(current_state)
+            )
             with open(output_dir / "train_state" / "host_state.json", "w") as f:
                 json.dump(
                     {"scheduler": scheduler.state_dict(), "epoch": epoch}, f
                 )
 
-    profile_dir = cfg.run.get("profile_dir", "")
-    if profile_dir:
-        jax.profiler.start_trace(str(profile_dir))
     meter = ThroughputMeter()
-    for epoch in range(start_epoch, cfg_train.epochs):
-        train_loader.set_epoch(epoch)
-        # --- train epoch ---
-        losses = []
-        term_sums: dict = {}
-        n_batches = 0
-        for batch in prefetch(train_loader):
-            meter.step(batch.batch_size)
-            state, metrics = train_step(
-                state,
-                jax.numpy.asarray(batch.pose_2d),
-                jax.numpy.asarray(batch.pose_3d),
-                scheduler.lr,
-            )
-            losses.append(metrics["loss"])
-            for k, v in metrics.items():
-                term_sums.setdefault(k, []).append(v)
-            n_batches += 1
-        epoch_loss = float(np.mean([float(x) for x in losses]))
-        train_loss_hist.append(epoch_loss)
-        metrics_to_log = {
-            "tr_loss": epoch_loss,
-            "lr": scheduler.lr,
-            "seq_per_sec": meter.seq_per_sec,
-        }
-        for k, vals in term_sums.items():
-            if k != "loss":
-                metrics_to_log[k] = float(np.mean([float(x) for x in vals]))
-
-        # --- validation loss ---
-        if (epoch + 1) % cfg_train.valid_epoch_interval == 0:
-            val_losses = []
-            for batch in valid_loader:
-                m = val_step(
-                    state.params,
+    with trace(cfg.run.get("profile_dir", "")):
+        for epoch in range(start_epoch, cfg_train.epochs):
+            train_loader.set_epoch(epoch)
+            # --- train epoch ---
+            losses = []
+            term_sums: dict = {}
+            n_batches = 0
+            for batch in prefetch(train_loader):
+                meter.step(batch.batch_size)
+                state, metrics = train_step(
+                    state,
                     jax.numpy.asarray(batch.pose_2d),
                     jax.numpy.asarray(batch.pose_3d),
+                    scheduler.lr,
                 )
-                val_losses.append(float(m["loss"]))
-            epoch_val = float(np.mean(val_losses)) if val_losses else np.inf
-            valid_loss_hist.append(epoch_val)
-            metrics_to_log["val_loss"] = epoch_val
+                losses.append(metrics["loss"])
+                for k, v in metrics.items():
+                    term_sums.setdefault(k, []).append(v)
+                n_batches += 1
+            epoch_loss = float(np.mean([float(x) for x in losses]))
+            train_loss_hist.append(epoch_loss)
+            metrics_to_log = {
+                "tr_loss": epoch_loss,
+                "lr": scheduler.lr,
+                "seq_per_sec": meter.seq_per_sec,
+            }
+            for k, vals in term_sums.items():
+                if k != "loss":
+                    metrics_to_log[k] = float(np.mean([float(x) for x in vals]))
 
-            if best_valid_loss > epoch_val:
-                best_valid_loss = epoch_val
-                _ckpt("best_val", epoch=epoch + 1)
-                best_params = state.params
-                metrics_to_log.update(
-                    {"best_epoch_loss": epoch, "best_val_loss": epoch_val}
-                )
-            # reference steps the scheduler only on validation epochs and
-            # feeds plateau the best loss (``:400-403``)
-            scheduler.step(best_valid_loss)
-
-        # --- MPJPE eval ---
-        if (epoch + 1) % cfg_train.mpjpe_epoch_interval == 0:
-            results = evaluate(
-                apply_fn, state.params, valid_loader, skeleton, eval_cfg
-            )
-            mpjpe_val = results[2]
-            metrics_to_log["val_mpjpe"] = mpjpe_val
-            if rmcl:
-                oracle_val, psoracle_val = results[3], results[4]
-                metrics_to_log["val_oracle_mpjpe"] = oracle_val
-                metrics_to_log["val_ps_oracle_mpjpe"] = psoracle_val
-                if best_oracle > oracle_val:
-                    best_oracle = oracle_val
-                    _ckpt("best_oracle_mpjpe")
-                    metrics_to_log.update(
-                        {
-                            "best_epoch_oracle_mpjpe": epoch,
-                            "best_val_oracle_mpjpe": oracle_val,
-                        }
+            # --- validation loss ---
+            if (epoch + 1) % cfg_train.valid_epoch_interval == 0:
+                val_losses = []
+                for batch in valid_loader:
+                    m = val_step(
+                        state.params,
+                        jax.numpy.asarray(batch.pose_2d),
+                        jax.numpy.asarray(batch.pose_3d),
+                        int(batch.valid.sum()),
                     )
-                if best_psoracle > psoracle_val:
-                    best_psoracle = psoracle_val
-                    _ckpt("best_ps_oracle_mpjpe")
+                    val_losses.append(float(m["loss"]))
+                epoch_val = float(np.mean(val_losses)) if val_losses else np.inf
+                valid_loss_hist.append(epoch_val)
+                metrics_to_log["val_loss"] = epoch_val
+
+                if best_valid_loss > epoch_val:
+                    best_valid_loss = epoch_val
+                    _ckpt(state, "best_val", epoch=epoch + 1)
+                    best_params = state.params
                     metrics_to_log.update(
-                        {
-                            "best_epoch_ps_oracle_mpjpe": epoch,
-                            "best_val_ps_oracle_mpjpe": psoracle_val,
-                        }
+                        {"best_epoch_loss": epoch, "best_val_loss": epoch_val}
                     )
-            if best_mpjpe > mpjpe_val:
-                best_mpjpe = mpjpe_val
-                _ckpt("best_mpjpe")
-                best_params = state.params
-                metrics_to_log.update(
-                    {"best_epoch_mpjpe": epoch, "best_val_mpjpe": best_mpjpe}
+                # reference steps the scheduler only on validation epochs and
+                # feeds plateau the best loss (``:400-403``)
+                scheduler.step(best_valid_loss)
+
+            # --- MPJPE eval ---
+            if (epoch + 1) % cfg_train.mpjpe_epoch_interval == 0:
+                results = evaluate(
+                    apply_fn, state.params, valid_loader, skeleton, eval_cfg
                 )
+                mpjpe_val = results[2]
+                metrics_to_log["val_mpjpe"] = mpjpe_val
+                if rmcl:
+                    oracle_val, psoracle_val = results[3], results[4]
+                    metrics_to_log["val_oracle_mpjpe"] = oracle_val
+                    metrics_to_log["val_ps_oracle_mpjpe"] = psoracle_val
+                    if best_oracle > oracle_val:
+                        best_oracle = oracle_val
+                        _ckpt(state, "best_oracle_mpjpe")
+                        metrics_to_log.update(
+                            {
+                                "best_epoch_oracle_mpjpe": epoch,
+                                "best_val_oracle_mpjpe": oracle_val,
+                            }
+                        )
+                    if best_psoracle > psoracle_val:
+                        best_psoracle = psoracle_val
+                        _ckpt(state, "best_ps_oracle_mpjpe")
+                        metrics_to_log.update(
+                            {
+                                "best_epoch_ps_oracle_mpjpe": epoch,
+                                "best_val_ps_oracle_mpjpe": psoracle_val,
+                            }
+                        )
+                if best_mpjpe > mpjpe_val:
+                    best_mpjpe = mpjpe_val
+                    _ckpt(state, "best_mpjpe")
+                    best_params = state.params
+                    metrics_to_log.update(
+                        {"best_epoch_mpjpe": epoch, "best_val_mpjpe": best_mpjpe}
+                    )
 
-        logger.log(metrics_to_log, step=epoch)
+            logger.log(metrics_to_log, step=epoch)
 
-    if profile_dir:
-        jax.profiler.stop_trace()
-    _ckpt("end", epoch=cfg_train.epochs)
+
+    _ckpt(state, "end", epoch=cfg_train.epochs)
     np.save(output_dir / "train_loss.npy", np.asarray(train_loss_hist))
     np.save(output_dir / "valid_loss.npy", np.asarray(valid_loss_hist))
     # reload best weights (``:507``)

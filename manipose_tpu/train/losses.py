@@ -15,11 +15,11 @@ import jax.numpy as jnp
 
 from ..metrics.losses import (
     STANDARD_H36M_WEIGHTS,
+    binary_cross_entropy,
     mean_velocity_error,
     weighted_mpjpe_loss,
     weighted_mse_loss,
     wta_l2_loss_and_activate_head,
-    wta_with_scoring_loss,
 )
 from ..metrics.consistency import (
     segments_time_consistency,
@@ -65,20 +65,20 @@ def compute_loss(
     if cfg.rmcl:
         poses, scores = prediction
         time_axis = 2
-        unagg_wta, _ = wta_l2_loss_and_activate_head(
+        # one WTA computation feeds both terms (the reference recomputes
+        # it inside wta_with_scoring_loss; identical math)
+        unagg_wta, active_idx = wta_l2_loss_and_activate_head(
             hypothesis=poses, y=target, weights=weights, squared=cfg.sq_loss
         )
         terms["wloss"] = jnp.mean(unagg_wta)
         if cfg.rmcl_score_reg > 0:
-            _, scoring = wta_with_scoring_loss(
-                hypothesis=poses,
-                scores=scores,
-                y=target,
-                beta=cfg.rmcl_score_reg,
-                weights=weights,
-                squared=cfg.sq_loss,
+            n_hyp = poses.shape[1]
+            gt_scores = jnp.transpose(
+                jnp.eye(n_hyp, dtype=scores.dtype)[active_idx], (0, 2, 1)
             )
-            terms["score_reg"] = scoring
+            terms["score_reg"] = cfg.rmcl_score_reg * binary_cross_entropy(
+                scores[..., 0], gt_scores
+            )
         pred_for_reg = poses
     else:
         poses = prediction

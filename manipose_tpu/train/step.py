@@ -89,12 +89,18 @@ def make_eval_loss_step(
     skeleton: Optional[Skeleton],
 ):
     """Validation-loss step (no grads, deterministic forward). ``valid``
-    masks padding rows of the final batch; the reference instead lets the
-    last batch be smaller (``DataLoader(drop_last=False)``)."""
+    masks padding rows of the final batch (the reference instead lets the
+    last batch be smaller, ``DataLoader(drop_last=False)``): losses are
+    computed on the de-duplicated leading rows only, via a per-call
+    static valid count (one retrace per distinct final-batch size)."""
 
-    def step(params, pose_2d, pose_3d):
-        prediction = apply_fn(params, pose_2d, deterministic=True)
-        total, terms = compute_loss(prediction, pose_3d, loss_cfg, skeleton)
+    def step(params, pose_2d, pose_3d, n_valid: int):
+        prediction = apply_fn(
+            params, pose_2d[:n_valid], deterministic=True
+        )
+        total, terms = compute_loss(
+            prediction, pose_3d[:n_valid], loss_cfg, skeleton
+        )
         return {"loss": total, **terms}
 
-    return jax.jit(step)
+    return jax.jit(step, static_argnums=(3,))

@@ -66,6 +66,12 @@ class TestSkeleton:
         skel = h36m_skeleton_16()
         assert skel.num_joints == 16 and skel.num_bones == 15
         assert skel.parents == (-1, 0, 1, 2, 0, 4, 5, 0, 7, 8, 8, 10, 11, 8, 13, 14)
+        # T-pose operators re-indexed past the removed Neck/Nose:
+        # LShoulder (10) points left, RShoulder (13) right, Head (9) up
+        ops = skel.t_pose_array()
+        np.testing.assert_array_equal(ops[9], [0, 1, 0])
+        np.testing.assert_array_equal(ops[10], [-1, 0, 0])
+        np.testing.assert_array_equal(ops[13], [1, 0, 0])
 
     def test_levels_cover_all_joints(self):
         for skel in (h36m_skeleton_32(), h36m_skeleton_17(), h36m_skeleton_16()):
