@@ -293,6 +293,7 @@ def main(cfg: Config) -> Optional[float]:
         )
         best_valid_mpjpe = result.best_mpjpe
         variables = result.best_params
+        logger.save_csv(output_dir)
 
     if cfg.run.test:
         run_test_protocol(

@@ -84,3 +84,12 @@ class MetricLogger:
                 self._mlf.log_params(params)
             except Exception:
                 pass
+
+    def save_csv(self, output_dir, file_name: str = "metrics") -> Optional[str]:
+        """Dump the in-memory metric history as a CSV (the reference logs
+        per-epoch metrics to MLflow; this is the always-on equivalent)."""
+        if not self.history:
+            return None
+        path = os.path.join(str(output_dir), f"{file_name}.csv")
+        pd.DataFrame(self.history).to_csv(path, index=False)
+        return path

@@ -290,3 +290,34 @@ class TestBackProjection:
             torch.from_numpy(uvd), torch.from_numpy(cam)
         ).numpy()
         np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+class TestBatchPathMissTypes:
+    @pytest.mark.parametrize("miss_type", ["random", "all", "noisy",
+                                           "structured_frame"])
+    def test_get_batch_miss_types(self, miss_type):
+        p3, p2 = _toy_videos()
+        ds = PoseSequenceDataset(
+            p3, p2, seq_len=16, miss_type=miss_type, miss_rate=0.25,
+            noise_sigma=0.1,
+        )
+        rng = np.random.default_rng(0)
+        b2, b3 = ds.get_batch(np.arange(4), rng)
+        assert b2.shape == (4, 16, 17, 2)
+        assert b3.shape == (4, 16, 17, 3)
+        if miss_type == "random":
+            # some keypoints zeroed
+            zeros = (b2 == 0).all(axis=-1).mean()
+            assert 0.1 < zeros < 0.4
+
+    def test_get_batch_flip_applies_to_both(self):
+        p3, p2 = _toy_videos()
+        ds = PoseSequenceDataset(
+            p3, p2, seq_len=16, skeleton=SKEL, flip_probability=1.0
+        )
+        rng = np.random.default_rng(0)
+        b2, b3 = ds.get_batch(np.asarray([0]), rng)
+        raw2, raw3 = p2[0][:16], p3[0][:16]
+        (f2, f3) = pose_flip((raw2, raw3), SKEL)
+        np.testing.assert_allclose(b2[0], f2, atol=1e-6)
+        np.testing.assert_allclose(b3[0], f3, atol=1e-6)
