@@ -1,0 +1,162 @@
+"""Batch inference / serving API.
+
+The reference has no serving layer (research drivers only); production
+use of a lifting model is "give me 3D poses for this 2D keypoint video".
+:class:`Predictor` packages that: fixed-shape jitted forward (no
+recompiles across videos), sequence windowing with replicate padding,
+optional TTA flip and hypothesis aggregation, and loading either flax
+checkpoints (orbax) or reference ``.pth`` files via the converter.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config, load_config
+from .data.native import gather_windows
+from .drivers.common import init_model_params, instantiate_model
+from .eval.engine import flip_poses
+from .geometry.skeleton import Skeleton
+from .models.rmcl import aggregate_hypotheses
+
+
+class Predictor:
+    """Lift 2D keypoint videos to 3D poses.
+
+    Args:
+      cfg: full Config (model/data groups define the architecture).
+      skeleton: kinematic skeleton (defaults to the dataset's 17-joint).
+      variables: flax variables; if None, random init (for testing).
+      batch_size: static windows-per-call (padded; no recompiles).
+      tta: average with the flipped input (``eval_utils.py:78-142``).
+    """
+
+    def __init__(
+        self,
+        cfg: Optional[Config] = None,
+        skeleton: Optional[Skeleton] = None,
+        variables=None,
+        batch_size: int = 8,
+        tta: bool = True,
+    ):
+        if cfg is None:
+            cfg = load_config("config")
+        if skeleton is None:
+            from .geometry import h36m_skeleton_17
+
+            skeleton = h36m_skeleton_17()
+        self.cfg = cfg
+        self.skeleton = skeleton
+        self.seq_len = cfg.data.seq_len
+        self.batch_size = batch_size
+        self.tta = tta
+        self.model, self.rmcl = instantiate_model(cfg, skeleton)
+        self.variables = (
+            variables
+            if variables is not None
+            else init_model_params(self.model, cfg, skeleton.num_joints)
+        )
+
+        def forward(variables, x):
+            pred = self.model.apply(variables, x, deterministic=True)
+            if self.rmcl:
+                hyps, scores = pred
+                agg = aggregate_hypotheses(hyps, scores, "weighted_ave")
+            else:
+                hyps, scores = None, None
+                agg = pred
+            if self.tta:
+                flipped = self.model.apply(
+                    variables, flip_poses(x, skeleton), deterministic=True
+                )
+                if self.rmcl:
+                    f_hyps, f_scores = flipped
+                    f_agg = aggregate_hypotheses(f_hyps, f_scores, "weighted_ave")
+                else:
+                    f_agg = flipped
+                agg = (agg + flip_poses(f_agg, skeleton)) / 2
+            return agg, hyps, scores
+
+        self._forward = jax.jit(forward)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_torch_checkpoint(cls, path, cfg: Optional[Config] = None, **kw):
+        """Load a reference ``.pth`` checkpoint (e.g. manipose_h36m.pth)."""
+        if cfg is None:
+            cfg = load_config("config")
+        from .train.checkpoint import load_torch_checkpoint
+
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, load_torch_checkpoint(path, cfg.model.arch)
+        )
+        return cls(cfg=cfg, variables=variables, **kw)
+
+    @classmethod
+    def from_checkpoint(cls, directory, tag: str = "best_val",
+                        cfg: Optional[Config] = None, **kw):
+        """Load an orbax checkpoint written by the training loop."""
+        if cfg is None:
+            cfg = load_config("config")
+        from .train.checkpoint import restore_checkpoint
+
+        predictor = cls(cfg=cfg, **kw)
+        predictor.variables = restore_checkpoint(
+            directory, tag, predictor.variables
+        )
+        return predictor
+
+    # ------------------------------------------------------------------
+    def predict_video(
+        self, keypoints_2d: np.ndarray, return_hypotheses: bool = False
+    ):
+        """(N, J, 2) screen-normalized keypoints -> (N, J, 3) 3D poses
+        in meters (root-relative camera frame).
+
+        Windows of ``seq_len`` frames (replicate-padded tail), batched to
+        the static ``batch_size`` so every call reuses one compiled graph.
+        Optionally also returns per-window hypotheses (W, H, L, J, 3) and
+        scores (W, H, L, 1).
+        """
+        keypoints_2d = np.asarray(keypoints_2d, np.float32)
+        n_frames, j, c = keypoints_2d.shape
+        assert j == self.skeleton.num_joints and c == 2
+        seq_len = self.seq_len
+        n_windows = max(1, (n_frames + seq_len - 1) // seq_len)
+        starts = np.arange(n_windows, dtype=np.int64) * seq_len
+        clips = gather_windows(
+            [keypoints_2d],
+            np.zeros(n_windows, np.int64),
+            starts,
+            seq_len,
+        )  # (W, L, J, 2)
+
+        outs, all_hyps, all_scores = [], [], []
+        for b0 in range(0, n_windows, self.batch_size):
+            batch = clips[b0 : b0 + self.batch_size]
+            n_valid = batch.shape[0]
+            if n_valid < self.batch_size:  # pad to the static shape
+                pad = np.repeat(
+                    batch[-1:], self.batch_size - n_valid, axis=0
+                )
+                batch = np.concatenate([batch, pad], axis=0)
+            agg, hyps, scores = self._forward(
+                self.variables, jnp.asarray(batch)
+            )
+            outs.append(np.asarray(agg[:n_valid]))
+            if return_hypotheses and self.rmcl:
+                all_hyps.append(np.asarray(hyps[:n_valid]))
+                all_scores.append(np.asarray(scores[:n_valid]))
+
+        poses = np.concatenate(outs, axis=0).reshape(-1, j, 3)[:n_frames]
+        if return_hypotheses and self.rmcl:
+            return (
+                poses,
+                np.concatenate(all_hyps, axis=0),
+                np.concatenate(all_scores, axis=0),
+            )
+        return poses

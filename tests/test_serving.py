@@ -1,0 +1,94 @@
+"""Serving API: windowing + fixed-shape inference + checkpoint loading."""
+
+import numpy as np
+import pytest
+
+from manipose_tpu.config import load_config
+from manipose_tpu.serving import Predictor
+
+OVERRIDES = [
+    "data.seq_len=9",
+    "model.layers=2", "model.channels=32", "model.nheads=4",
+    "model.layers_seg=2", "model.channels_seg=16", "model.nheads_seg=4",
+    "multi_hyp.n_hyp=2",
+]
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    cfg = load_config("config", overrides=OVERRIDES)
+    return Predictor(cfg=cfg, batch_size=3, tta=True)
+
+
+class TestPredictor:
+    def test_predict_video_shapes(self, predictor):
+        rng = np.random.default_rng(0)
+        video = rng.normal(size=(40, 17, 2)).astype(np.float32)
+        poses = predictor.predict_video(video)
+        assert poses.shape == (40, 17, 3)
+        assert np.isfinite(poses).all()
+
+    def test_short_video_padding(self, predictor):
+        rng = np.random.default_rng(1)
+        video = rng.normal(size=(5, 17, 2)).astype(np.float32)  # < seq_len
+        poses = predictor.predict_video(video)
+        assert poses.shape == (5, 17, 3)
+
+    def test_hypotheses_output(self, predictor):
+        rng = np.random.default_rng(2)
+        video = rng.normal(size=(20, 17, 2)).astype(np.float32)
+        poses, hyps, scores = predictor.predict_video(
+            video, return_hypotheses=True
+        )
+        assert poses.shape == (20, 17, 3)
+        assert hyps.shape[1] == 2 and hyps.shape[-1] == 3  # (W, H, L, J, 3)
+        np.testing.assert_allclose(scores.sum(axis=1), 1.0, atol=1e-5)
+
+    def test_no_recompile_across_videos(self, predictor):
+        """Different video lengths reuse the one compiled graph."""
+        import jax
+
+        rng = np.random.default_rng(3)
+        predictor.predict_video(rng.normal(size=(13, 17, 2)).astype(np.float32))
+        compiles_before = predictor._forward._cache_size()
+        predictor.predict_video(rng.normal(size=(31, 17, 2)).astype(np.float32))
+        predictor.predict_video(rng.normal(size=(7, 17, 2)).astype(np.float32))
+        assert predictor._forward._cache_size() == compiles_before
+
+    def test_from_torch_checkpoint_matches_reference(self, tmp_path):
+        """Serve the converted reference model; outputs match the torch
+        forward through the full predict path (single window, no TTA)."""
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+
+        from conftest import install_reference_stubs, load_ref_module
+        from test_geometry import _reference_h36m_17
+
+        install_reference_stubs()
+        ref_rmcl = load_ref_module(
+            "mh_so3_hpe.architectures.rmcl_manifold_mix_ste"
+        )
+        torch.manual_seed(0)
+        tmodel = ref_rmcl.RMCLManifoldMixSTE(
+            skeleton=_reference_h36m_17(), num_frame=9, num_joints=17,
+            num_bones=16, embed_dim_rot=32, depth_rot=2, num_heads_rot=4,
+            embed_dim_seg=16, depth_seg=2, num_heads_seg=4, n_hyp=2,
+        )
+        tmodel.eval()
+        ckpt = tmp_path / "ref.pth"
+        torch.save(tmodel.state_dict(), ckpt)
+
+        cfg = load_config("config", overrides=OVERRIDES)
+        pred = Predictor.from_torch_checkpoint(
+            ckpt, cfg=cfg, batch_size=1, tta=False
+        )
+        rng = np.random.default_rng(4)
+        video = rng.normal(size=(9, 17, 2)).astype(np.float32)
+        ours = pred.predict_video(video)
+
+        with torch.no_grad():
+            hyps, scores = tmodel(torch.from_numpy(video[None]))
+            ref = (hyps * scores.unsqueeze(-1)).sum(dim=1)[0].numpy()
+        np.testing.assert_allclose(ours, ref, atol=5e-5)
