@@ -237,6 +237,13 @@ class MixSTE(nn.Module):
         )
         self.pos_drop = nn.Dropout(cfg.drop_rate)
 
+        # "pallas_temporal": fused kernel only on the L-frame layout (the
+        # HBM-heaviest attention); spatial stays on XLA — far fewer Mosaic
+        # compiles than full-pallas for most of the benefit.
+        spatial_impl = "xla" if cfg.attn_impl == "pallas_temporal" else cfg.attn_impl
+        temporal_impl = (
+            "pallas" if cfg.attn_impl == "pallas_temporal" else cfg.attn_impl
+        )
         common = dict(
             dim=cfg.embed_dim,
             num_heads=cfg.num_heads,
@@ -248,17 +255,18 @@ class MixSTE(nn.Module):
             residual_scale=residual_scale,
             mup=cfg.mup,
             dtype=cfg.dtype,
-            attn_impl=cfg.attn_impl,
         )
         # static_argnums=(2,): `deterministic` stays a python bool under
         # remat (arg 0 is self)
         block_cls = nn.remat(Block, static_argnums=(2,)) if cfg.remat else Block
         self.ste_blocks = [
-            block_cls(drop_path=dpr[i], comb=False, name=f"ste_block_{i}", **common)
+            block_cls(drop_path=dpr[i], comb=False, attn_impl=spatial_impl,
+                      name=f"ste_block_{i}", **common)
             for i in range(cfg.depth)
         ]
         self.tte_blocks = [
-            block_cls(drop_path=dpr[i], comb=False, name=f"tte_block_{i}", **common)
+            block_cls(drop_path=dpr[i], comb=False, attn_impl=temporal_impl,
+                      name=f"tte_block_{i}", **common)
             for i in range(cfg.depth)
         ]
         self.spatial_norm = nn.LayerNorm(

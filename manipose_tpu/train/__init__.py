@@ -2,6 +2,7 @@ from .losses import LossConfig, compute_loss
 from .optim import (
     CosineAnnealingLR,
     ReduceLROnPlateau,
+    lr_decay,
     make_adam,
     make_optimizer,
     make_scheduler,
@@ -13,6 +14,7 @@ __all__ = [
     "compute_loss",
     "CosineAnnealingLR",
     "ReduceLROnPlateau",
+    "lr_decay",
     "make_adam",
     "make_optimizer",
     "make_scheduler",

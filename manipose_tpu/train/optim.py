@@ -39,6 +39,12 @@ def make_optimizer(weight_decay: float = 1e-6) -> optax.GradientTransformation:
     )(learning_rate=0.0)
 
 
+def lr_decay(step: int, lr: float, decay_step: int, gamma: float) -> float:
+    """Exponential step decay (``hpe/mh_so3_hpe/utils.py:32-36``); the
+    returned value feeds the jitted step's dynamic LR input."""
+    return lr * gamma ** (step / decay_step)
+
+
 class CosineAnnealingLR:
     """torch ``CosineAnnealingLR`` recurrence (closed form), stepped per
     validation epoch (``main_h36m_lifting.py:245-251,400-403``)."""

@@ -83,3 +83,32 @@ class TestFlashAttention:
         np.testing.assert_allclose(
             np.asarray(out_pl), np.asarray(out_xla), atol=5e-5
         )
+
+
+class TestPallasTemporalVariant:
+    def test_pallas_temporal_matches_xla(self):
+        """attn_impl=pallas_temporal (fused kernel only on the L-frame
+        layout) reproduces the XLA model exactly."""
+        import jax
+        import jax.numpy as jnp
+
+        from manipose_tpu.geometry import h36m_skeleton_17
+        from manipose_tpu.models import ManifoldConfig, RMCLManifoldMixSTE
+
+        skel = h36m_skeleton_17()
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(2, 9, 17, 2)).astype(np.float32))
+        kw = dict(
+            num_frame=9, embed_dim_rot=32, depth_rot=2, num_heads_rot=4,
+            embed_dim_seg=16, depth_seg=2, num_heads_seg=4, n_hyp=2,
+            drop_path_rate=0.0,
+        )
+        m_xla = RMCLManifoldMixSTE(ManifoldConfig(**kw), skel)
+        m_pt = RMCLManifoldMixSTE(
+            ManifoldConfig(attn_impl="pallas_temporal", **kw), skel
+        )
+        params = m_xla.init(jax.random.PRNGKey(0), x)
+        p1, s1 = m_xla.apply(params, x)
+        p2, s2 = m_pt.apply(params, x)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
