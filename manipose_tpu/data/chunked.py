@@ -67,6 +67,8 @@ class ChunkedGenerator:
         joints_left: Optional[Sequence[int]] = None,
         joints_right: Optional[Sequence[int]] = None,
         out_all: bool = False,
+        train: bool = True,
+        valid_frame: Optional[dict] = None,
     ):
         assert poses_3d is not None
         self.batch_size = batch_size
@@ -88,8 +90,18 @@ class ChunkedGenerator:
         for key in poses_2d.keys():
             n_chunks = (poses_2d[key].shape[0] + chunk_length - 1) // chunk_length
             offset = (n_chunks * chunk_length - poses_2d[key].shape[0]) // 2
-            bounds = np.arange(n_chunks + 1) * chunk_length - offset
-            for i in range(len(bounds) - 1):
+            if train:
+                bounds = np.arange(n_chunks + 1) * chunk_length - offset
+                spans = list(zip(bounds[:-1], bounds[1:]))
+            else:
+                # test mode: one single-frame chunk per *valid* frame
+                # (``generator_3dhp.py:38-61``)
+                assert valid_frame is not None, "test mode needs valid_frame"
+                lows = (np.arange(n_chunks) * chunk_length - offset)[
+                    np.asarray(valid_frame[key]).astype(bool)
+                ]
+                spans = list(zip(lows, lows + 1))
+            for lo, hi in spans:
                 variants = [(False, False)]
                 if augment:
                     variants.append((True, False))
@@ -98,7 +110,7 @@ class ChunkedGenerator:
                 if augment and reverse_aug:
                     variants.append((True, True))
                 for flip, rev in variants:
-                    pairs.append((key, bounds[i], bounds[i + 1], flip, rev))
+                    pairs.append((key, lo, hi, flip, rev))
         self.pairs = pairs
 
     def num_frames(self) -> int:
@@ -152,9 +164,13 @@ class ChunkedGenerator:
                 if rev:
                     clip_2d = clip_2d[::-1].copy()
                     clip_3d = clip_3d[::-1].copy()
-                cam = (
-                    self.cameras[key] if self.cameras is not None else None
-                )
+                cam = self.cameras[key] if self.cameras is not None else None
+                if cam is not None and flip:
+                    # mirror the intrinsics' x terms with the flipped pose
+                    # (``generator_3dhp.py:172-176``)
+                    cam = np.array(cam, copy=True)
+                    cam[..., 2] *= -1
+                    cam[..., 7] *= -1
                 cams.append(cam)
                 p3.append(clip_3d)
                 p2.append(clip_2d)

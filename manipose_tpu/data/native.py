@@ -75,6 +75,7 @@ def gather_windows(
     n_threads: int = 0,
 ) -> np.ndarray:
     """-> (n_windows, seq_len, J, C), replicate-padded past video ends."""
+    assert all(v.shape[0] > 0 for v in videos), "empty video passed"
     j, c = videos[0].shape[1:]
     row = j * c
     n_windows = len(video_idx)

@@ -88,8 +88,9 @@ def prefetch(iterable: Iterable, size: int = 2) -> Iterator:
         try:
             for item in iterable:
                 q.put(item)
-        finally:
             q.put(sentinel)
+        except BaseException as exc:  # propagate to the consumer
+            q.put(exc)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -97,4 +98,6 @@ def prefetch(iterable: Iterable, size: int = 2) -> Iterator:
         item = q.get()
         if item is sentinel:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -124,6 +124,7 @@ class Predictor:
         """
         keypoints_2d = np.asarray(keypoints_2d, np.float32)
         n_frames, j, c = keypoints_2d.shape
+        assert n_frames > 0, "empty keypoint video"
         assert j == self.skeleton.num_joints and c == 2
         seq_len = self.seq_len
         n_windows = max(1, (n_frames + seq_len - 1) // seq_len)

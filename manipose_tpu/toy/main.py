@@ -168,21 +168,25 @@ def main(cfg: Config) -> Optional[float]:
     if cfg.run.test:
         if enabled_3d:
             mr, nr = cfg.data.major_radius, cfg.data.minor_radius
-            (val_mpjpe, test_mpjpe), (_, test_predictions), _ = trainer.evaluate(
-                [data.val, data.test],
-                lambda p, y: calc_mpjpe_3d(
-                    p, y, joints_predictions=joints_prediction,
-                    major_radius=mr, minor_radius=nr,
-                ) if kind == "plain" else calc_mpjpe_3d(
-                    p, y, joints_predictions=False,
-                    major_radius=mr, minor_radius=nr,
-                ),
+            (val_mpjpe, test_mpjpe), (_, test_predictions), hyps = (
+                trainer.evaluate(
+                    [data.val, data.test],
+                    lambda p, y: calc_mpjpe_3d(
+                        p, y, joints_predictions=joints_prediction,
+                        major_radius=mr, minor_radius=nr,
+                    ) if kind == "plain" else calc_mpjpe_3d(
+                        p, y, joints_predictions=False,
+                        major_radius=mr, minor_radius=nr,
+                    ),
+                )
             )
             if kind == "plain" and joints_prediction:
                 sl = std_length(test_predictions, joint_prediction=True,
                                 major_radius=mr, minor_radius=nr)
-            elif kind in ("mcl", "diffusion"):
-                sl = std_length(test_predictions, mcl_version=(kind == "mcl"),
+            elif kind == "mcl":
+                # consistency over the raw hypotheses (reference
+                # std_length(..., mcl_version=True))
+                sl = std_length(hyps[1], mcl_version=True,
                                 major_radius=mr, minor_radius=nr)
             else:
                 sl = std_length(test_predictions, major_radius=mr,
@@ -193,8 +197,8 @@ def main(cfg: Config) -> Optional[float]:
                 "std_length_joint": sl,
             }
         else:
-            (val_mpjpe, test_mpjpe), (_, test_predictions), _ = trainer.evaluate(
-                [data.val, data.test], calc_mpjpe
+            (val_mpjpe, test_mpjpe), (_, test_predictions), hyps = (
+                trainer.evaluate([data.val, data.test], calc_mpjpe)
             )
             (val_dtc, test_dtc), _, _ = trainer.evaluate(
                 [data.val, data.test], distance_to_circle
@@ -206,6 +210,8 @@ def main(cfg: Config) -> Optional[float]:
                 "test_dtc": test_dtc,
             }
         np.save(output_dir / "test_predictions.npy", np.asarray(test_predictions))
+        if hyps is not None:
+            np.save(output_dir / "test_hypotheses.npy", np.asarray(hyps[1]))
         with open(output_dir / "metrics.txt", "w") as f:
             for k, v in metrics.items():
                 f.write(f"{k}: {v}\n")

@@ -142,9 +142,24 @@ class ToyTrainer:
         return step
 
     def _make_loss_eval(self):
+        """Validation loss mirrors the reference early-stopping criterion
+        (``trainer.py:160-163``): the supervised loss on the *aggregated*
+        prediction — not the training WTA/denoising loss."""
+
         def eval_loss(params, batch_stats, x, y, rng):
-            loss, _ = self._model_loss(params, batch_stats, x, y, rng, False)
-            return loss
+            variables = {"params": params, **batch_stats}
+            if self.model_kind == "diffusion":
+                hyps = self.model.apply(
+                    variables, x, rngs={"diffusion": rng},
+                    method=self.model.sample_hypotheses,
+                )
+                pred = jnp.mean(hyps, axis=1)
+            elif self.model_kind == "mcl":
+                hyps = self.model.apply(variables, x, train=False)
+                pred = aggregate_toy_hypotheses(hyps)
+            else:
+                pred = self.model.apply(variables, x, train=False)
+            return self._supervised_loss(pred, y)
 
         return eval_loss
 
@@ -208,7 +223,7 @@ class ToyTrainer:
             self._rng, rng = jax.random.split(self._rng)
             return np.asarray(
                 self.model.apply(
-                    self.variables, jnp.asarray(x),
+                    self.variables, jnp.asarray(x), n_samples,
                     rngs={"diffusion": rng},
                     method=self.model.sample_hypotheses,
                 )
@@ -218,7 +233,11 @@ class ToyTrainer:
         )
 
     def evaluate(self, eval_sets, metric: Callable, **metric_kwargs):
-        """(``trainer.py:203-236``): aggregate hypotheses then score."""
+        """(``trainer.py:203-236``): aggregate hypotheses then score.
+
+        Returns (performances, aggregated predictions, hypotheses-or-None);
+        metrics are computed on the aggregated predictions.
+        """
         performances, predictions, hypotheses = [], [], []
         for x_eval, y_eval in eval_sets:
             out = self.predict(x_eval)
@@ -230,10 +249,9 @@ class ToyTrainer:
                     preds = np.asarray(
                         aggregate_toy_hypotheses(jnp.asarray(out))
                     )
-                predictions.append(out)
             else:
                 preds = out
-                predictions.append(preds)
+            predictions.append(preds)
             try:
                 perf = metric(preds, y_eval, **metric_kwargs)
             except TypeError:

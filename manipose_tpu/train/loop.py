@@ -135,27 +135,28 @@ def train(
                     {"scheduler": scheduler.state_dict(), "epoch": epoch}, f
                 )
 
-    meter = ThroughputMeter()
     with trace(cfg.run.get("profile_dir", "")):
         for epoch in range(start_epoch, cfg_train.epochs):
+            # per-epoch throughput (training batches only)
+            meter = ThroughputMeter()
             train_loader.set_epoch(epoch)
             # --- train epoch ---
-            losses = []
             term_sums: dict = {}
-            n_batches = 0
             for batch in prefetch(train_loader):
-                meter.step(batch.batch_size)
+                n_valid = int(batch.valid.sum())
+                meter.step(n_valid)
                 state, metrics = train_step(
                     state,
                     jax.numpy.asarray(batch.pose_2d),
                     jax.numpy.asarray(batch.pose_3d),
                     scheduler.lr,
+                    n_valid if n_valid < batch.batch_size else None,
                 )
-                losses.append(metrics["loss"])
                 for k, v in metrics.items():
                     term_sums.setdefault(k, []).append(v)
-                n_batches += 1
-            epoch_loss = float(np.mean([float(x) for x in losses]))
+            epoch_loss = float(
+                np.mean([float(x) for x in term_sums["loss"]])
+            )
             train_loss_hist.append(epoch_loss)
             metrics_to_log = {
                 "tr_loss": epoch_loss,

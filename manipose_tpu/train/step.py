@@ -63,7 +63,12 @@ def make_train_step(
         total, terms = compute_loss(prediction, pose_3d, loss_cfg, skeleton)
         return total, terms
 
-    def step(state: TrainState, pose_2d, pose_3d, lr):
+    def step(state: TrainState, pose_2d, pose_3d, lr, n_valid: int = None):
+        if n_valid is not None:
+            # drop duplicated padding rows of a partial final batch
+            # (the reference trains on a smaller final batch instead)
+            pose_2d = pose_2d[:n_valid]
+            pose_3d = pose_3d[:n_valid]
         rng, dropout_rng = jax.random.split(state.rng)
         (total, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, pose_2d, pose_3d, dropout_rng
@@ -80,7 +85,7 @@ def make_train_step(
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(step, donate_argnums=donate_argnums)
+    return jax.jit(step, donate_argnums=donate_argnums, static_argnums=(4,))
 
 
 def make_eval_loss_step(

@@ -147,7 +147,7 @@ class TestToyEndToEnd:
         # weighted_ave); rMCL's claim is that the HYPOTHESES cover the
         # modes (low oracle error) while each lies exactly on the circle.
         assert np.isfinite(float(metrics["test_dtc"]))
-        hyps = np.load(tmp_path / "default" / "test_predictions.npy")
+        hyps = np.load(tmp_path / "default" / "test_hypotheses.npy")
         np.testing.assert_allclose(
             np.linalg.norm(hyps[..., :2], axis=-1), 1.0, atol=1e-5
         )
