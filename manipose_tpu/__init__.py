@@ -24,3 +24,15 @@ Reference behavior citations point into the upstream PyTorch codebase
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy top-level conveniences
+    if name == "Predictor":
+        from .serving import Predictor
+
+        return Predictor
+    if name == "load_config":
+        from .config import load_config
+
+        return load_config
+    raise AttributeError(name)
