@@ -15,6 +15,7 @@ factor of J; the TTA path (the default config) recomputes it correctly
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 from typing import Callable, Iterable, Optional
 
@@ -47,7 +48,11 @@ def flip_poses(poses: jnp.ndarray, skeleton: Skeleton) -> jnp.ndarray:
     return flipped.at[..., 0].multiply(-1.0)
 
 
-_EVAL_STEP_CACHE: dict = {}
+# Bounded LRU of jitted eval steps. Keyed on (apply_fn, skeleton, cfg);
+# bounded so long sweeps over many models/configs don't accumulate
+# compiled executables (each holds device buffers via its jit cache).
+_EVAL_STEP_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_EVAL_STEP_CACHE_MAX = 8
 
 
 def make_eval_step(
@@ -150,6 +155,11 @@ def evaluate(
     if step is None:
         step = make_eval_step(apply_fn, skeleton, cfg)
         _EVAL_STEP_CACHE[cache_key] = step
+        while len(_EVAL_STEP_CACHE) > _EVAL_STEP_CACHE_MAX:
+            # dropping the jit wrapper releases its compiled executables
+            _EVAL_STEP_CACHE.popitem(last=False)
+    else:
+        _EVAL_STEP_CACHE.move_to_end(cache_key)
     all_preds, all_targets, all_oracle = [], [], []
     sum_err = 0.0
     oracle_sum = 0.0
