@@ -4,6 +4,7 @@ from .render import (
     render_frame_prediction,
     render_rotated_frame_prediction,
 )
+from .video import ffmpeg_available, get_resolution, load_frames, read_video
 
 __all__ = [
     "prep_data_for_viz",
@@ -11,4 +12,8 @@ __all__ = [
     "render_animation",
     "render_frame_prediction",
     "render_rotated_frame_prediction",
+    "ffmpeg_available",
+    "get_resolution",
+    "load_frames",
+    "read_video",
 ]

@@ -87,8 +87,26 @@ def render_animation(
     bitrate: int = 3000,
     input_video_path: str = "",
     input_video_skip: int = 0,
+    input_frames: Optional[np.ndarray] = None,
 ) -> str:
-    """2D input + one 3D panel per model (``visualization.py:81-318``)."""
+    """2D input + one 3D panel per model (``visualization.py:81-318``).
+
+    When `input_video_path` (decoded via an ffmpeg pipe,
+    ``visualization.py:42-73``) or a pre-decoded `input_frames` array
+    (N, H, W, 3) is given, the 2D keypoints are drawn OVER the real video
+    frames (``visualization.py:163-180``); otherwise over a blank
+    viewport.
+    """
+    from .video import load_frames
+
+    frames = load_frames(input_video_path, input_video_skip, input_frames)
+    if frames is not None:
+        # align lengths like the reference (:144-145)
+        n = min(keypoints.shape[0], frames.shape[0])
+        frames = frames[:n]
+        keypoints = keypoints[:n]
+        poses = {k: v[:n] for k, v in poses.items()}
+
     if downsample > 1:
         def ds(x):
             length = x.shape[0] // downsample * downsample
@@ -96,9 +114,13 @@ def render_animation(
 
         keypoints = ds(keypoints)
         poses = {k: ds(v) for k, v in poses.items()}
+        if frames is not None:
+            frames = ds(frames).astype("uint8")
         fps = fps / downsample
 
     n_frames = keypoints.shape[0]
+    if frames is not None:
+        n_frames = min(n_frames, frames.shape[0])
     if limit >= 1:
         n_frames = min(limit, n_frames)
 
@@ -117,12 +139,20 @@ def render_animation(
     ]
     pose_list = list(poses.values())
 
-    state = {"artists": []}
+    state = {"artists": [], "image": None}
 
     def update(i):
         for artist in state["artists"]:
             artist.remove()
         state["artists"] = []
+        # real-video background (kept persistent; only the data updates)
+        if frames is not None:
+            if state["image"] is None:
+                state["image"] = ax_in.imshow(frames[i], aspect="equal")
+                ax_in.set_xlim(0, frames.shape[2])
+                ax_in.set_ylim(frames.shape[1], 0)
+            else:
+                state["image"].set_data(frames[i])
         # 2D keypoints
         for j, parent in enumerate(skeleton.parents):
             if parent == -1 or keypoints.shape[1] != skeleton.num_joints:
@@ -171,8 +201,17 @@ def render_frame_prediction(
     elev: float = 15.0,
     viewport=(1000, 1000),
     size: float = 5.0,
+    input_video_path: str = "",
+    input_video_skip: int = 0,
+    input_frames: Optional[np.ndarray] = None,
 ) -> str:
     """Single-frame comparison render (``visualization.py:319+``)."""
+    from .video import load_frames
+
+    # same alignment as render_animation: keypoints[i] <-> frames[i]
+    # where frames start input_video_skip frames into the source video
+    frames = load_frames(input_video_path, input_video_skip, input_frames,
+                         max_frames=frame_index + input_video_skip + 1)
     n_panels = 1 + len(poses)
     fig = plt.figure(figsize=(size * n_panels, size))
     ax_in = fig.add_subplot(1, n_panels, 1)
@@ -180,6 +219,11 @@ def render_frame_prediction(
     ax_in.set_title("Input")
     ax_in.set_xlim(0, viewport[0])
     ax_in.set_ylim(viewport[1], 0)
+    if frames is not None:
+        ax_in.imshow(frames[min(frame_index, frames.shape[0] - 1)],
+                     aspect="equal")
+        ax_in.set_xlim(0, frames.shape[2])
+        ax_in.set_ylim(frames.shape[1], 0)
     for j, parent in enumerate(skeleton.parents):
         if parent == -1 or keypoints.shape[1] != skeleton.num_joints:
             continue

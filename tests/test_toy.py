@@ -1,6 +1,8 @@
 """Toy experiments: distributions, models, losses, trainer, end-to-end
 learning quality (the models must actually solve the toy tasks)."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -208,3 +210,37 @@ class TestToyEndToEnd:
             for line in open(tmp_path / "default" / "metrics.txt")
         )
         assert np.isfinite(float(metrics["test_mpjpe"]))
+
+
+class TestPaperFigures:
+    """Figure 4 / Figure 8 reproduction (``plotting_script.py``,
+    ``tor-plot.py``) — one command emits both from trained models."""
+
+    def test_figure4_composes_from_trained_models(self, tmp_path):
+        from manipose_tpu.toy.paper_figures import figure4
+
+        out = figure4(tmp_path / "fig4.png", seed=0, epochs=2, n_train=200,
+                      n_test=12)
+        assert Path(out).exists() and Path(out).stat().st_size > 10_000
+
+    def test_figure8_torus_components(self, tmp_path):
+        from manipose_tpu.toy.paper_figures import figure8
+
+        out = figure8(tmp_path / "fig8.png", n_samples=300)
+        assert Path(out).exists() and Path(out).stat().st_size > 10_000
+
+    def test_oracle_minimizers_hard2_geometry(self):
+        from manipose_tpu.toy.distributions import HardBimodalDist
+        from manipose_tpu.toy.paper_figures import create_oracle_minimizers
+
+        dist = HardBimodalDist(radius=1.0, random_state=0)
+        query, acc, probs, euc, mani = create_oracle_minimizers(dist)
+        # hard-2 modes are +-pi/3: one shared query x = cos(pi/3) = 0.5
+        np.testing.assert_allclose(query, [[0.5]], atol=1e-12)
+        # acceptable outputs both lie ON the circle
+        np.testing.assert_allclose(np.linalg.norm(acc, axis=1), 1.0)
+        np.testing.assert_allclose(probs.sum(), 1.0)
+        # Euclidean minimizer is strictly INSIDE the circle (off-manifold)
+        assert np.linalg.norm(euc) < 0.999
+        # manifold oracle is exactly on it
+        np.testing.assert_allclose(np.linalg.norm(mani), 1.0, atol=1e-12)

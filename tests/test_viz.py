@@ -1,5 +1,7 @@
 """Visualization: render functions produce files; camera->world prep."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -83,3 +85,72 @@ class TestPrepare:
         hyps = _hyps(5)
         out = prepare_prediction_for_viz(hyps, cam, multihyp=True)
         np.testing.assert_allclose(out[..., 3], hyps[..., 3], atol=1e-7)
+
+
+class TestVideoOverlay:
+    """Input-video overlay path (``visualization.py:18-73,163-180``)."""
+
+    def _toy_inputs(self, n=4, j=17):
+        rng = np.random.default_rng(0)
+        kps = rng.uniform(100, 900, size=(n, j, 2)).astype(np.float32)
+        poses = {"model": rng.normal(size=(n, j, 3)).astype(np.float32)}
+        return kps, poses
+
+    def test_load_frames_from_array_skip_and_limit(self):
+        from manipose_tpu.viz import load_frames
+
+        frames = np.arange(6)[:, None, None, None] * np.ones(
+            (6, 4, 5, 3), np.uint8
+        )
+        out = load_frames(frames=frames, input_video_skip=2, max_frames=5)
+        assert out.shape == (3, 4, 5, 3)
+        assert out[0, 0, 0, 0] == 2 and out[-1, 0, 0, 0] == 4
+
+    def test_load_frames_rejects_bad_shape(self):
+        from manipose_tpu.viz import load_frames
+
+        with pytest.raises(ValueError):
+            load_frames(frames=np.zeros((3, 4, 5), np.uint8))
+
+    def test_render_animation_with_frame_overlay(self, tmp_path):
+        from manipose_tpu.geometry import h36m_skeleton_17
+        from manipose_tpu.viz import render_animation
+
+        kps, poses = self._toy_inputs()
+        frames = np.full((4, 32, 48, 3), 127, np.uint8)
+        out = render_animation(
+            kps, poses, h36m_skeleton_17(), fps=5,
+            output=str(tmp_path / "anim.gif"), input_frames=frames,
+        )
+        assert Path(out).exists() and Path(out).stat().st_size > 0
+
+    def test_render_animation_trims_to_video_length(self, tmp_path):
+        from manipose_tpu.geometry import h36m_skeleton_17
+        from manipose_tpu.viz import render_animation
+
+        kps, poses = self._toy_inputs(n=10)
+        frames = np.full((3, 16, 16, 3), 10, np.uint8)  # shorter video
+        out = render_animation(
+            kps, poses, h36m_skeleton_17(), fps=5,
+            output=str(tmp_path / "anim2.gif"), input_frames=frames,
+        )
+        assert Path(out).exists()
+
+    def test_render_frame_prediction_with_overlay(self, tmp_path):
+        from manipose_tpu.geometry import h36m_skeleton_17
+        from manipose_tpu.viz import render_frame_prediction
+
+        kps, poses = self._toy_inputs()
+        frames = np.full((4, 32, 48, 3), 64, np.uint8)
+        out = render_frame_prediction(
+            kps, poses, h36m_skeleton_17(), frame_index=2,
+            output=str(tmp_path / "frame.png"), input_frames=frames,
+        )
+        assert Path(out).exists() and Path(out).stat().st_size > 0
+
+    def test_read_video_raises_without_ffmpeg(self, monkeypatch):
+        from manipose_tpu.viz import video as vid
+
+        monkeypatch.setattr(vid, "ffmpeg_available", lambda: False)
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            list(vid.read_video("nonexistent.mp4"))

@@ -7,7 +7,13 @@ PoseFormer/P-STMO dumps).
 Input: a .npy/.npz file with predictions of shape (N, L, J, 3) in mm and
 optionally targets of the same shape.
 
-  python tools/eval_baselines.py preds.npy [targets.npy] [--skeleton h36m17]
+  python tools/eval_baselines.py preds.npy [targets.npy] [--skeleton=3dhp]
+      [--pck] [--alignment=none|scale|procrustes]
+
+With --pck (and targets given) additionally scores the dumps with the
+3DHP protocol: 3DPCK@150mm and AUC over 31 thresholds in [0, 150] mm
+(reference: eval_baselines_mpi.py:80-116 scoring P-STMO dumps with
+keypoint_3d_pck/keypoint_3d_auc).
 """
 
 import sys
@@ -21,6 +27,8 @@ import numpy as np
 from manipose_tpu.data.dhp3 import dhp3_skeleton
 from manipose_tpu.geometry import h36m_skeleton_17
 from manipose_tpu.metrics import (
+    keypoint_3d_auc,
+    keypoint_3d_pck,
     mpjpe_error,
     p_mpjpe,
     sagittal_symmetry,
@@ -74,6 +82,22 @@ def main(argv):
             float(segments_len_err(preds, targets, skeleton, "average",
                                    signed=False)),
         )
+        if "--pck" in argv:
+            alignment = "none"
+            for a in argv:
+                if a.startswith("--alignment="):
+                    alignment = a.split("=", 1)[1]
+            # 3DHP protocol over pooled frames (eval_baselines_mpi.py:80-116)
+            p = preds.reshape(n * l, j, 3)
+            g = targets.reshape(n * l, j, 3)
+            print(
+                f"3DPCK@150mm ({alignment}):",
+                float(keypoint_3d_pck(p, g, alignment=alignment)),
+            )
+            print(
+                f"AUC 0-150mm ({alignment}):",
+                float(keypoint_3d_auc(p, g, alignment=alignment)),
+            )
 
 
 if __name__ == "__main__":
