@@ -33,7 +33,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REFERENCE_SEQ_PER_SEC = 0.0543
 
 # bf16 compute (params fp32) at the throughput-optimal batch found by
-# sweeping {4, 8, 16, 32, 64}: ~34 seq/s saturates from B=8 up.
+# sweeping {4, 8, 16, 32, 64}; B=32 OOMs with the packed spatial
+# attention (22.4G > 15.75G HBM). r2: packed block-diag spatial
+# attention lifted 34.4 -> 37.2 seq/s at B=16.
 BATCH = 16
 SEQ_LEN = 243
 DTYPE = "bfloat16"

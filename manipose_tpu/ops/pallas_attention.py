@@ -2,14 +2,26 @@
 
 MixSTE attends over short sequences (J=17 joints spatially, L=243 frames
 temporally) with huge folded batches (B*L and B*J). The XLA path
-materializes the (N, N) probability tensor in HBM between ops; this
-kernel keeps the entire score/softmax/PV chain for one (batch, head) in
-VMEM — a single HBM round-trip for Q/K/V/O. Because N <= ~512 here, a
-whole-block kernel (no online-softmax streaming) is optimal: one MXU
-matmul pair per grid cell, fp32 accumulation.
+materializes the (N, N) probability tensor in HBM between the two
+matmuls; these kernels keep the entire score/softmax/PV chain in VMEM —
+one HBM round-trip for Q/K/V/O, fp32 accumulation.
+
+Design notes (round 2):
+  - NO host-side padding. The round-1 kernel ``jnp.pad``-ed Q/K/V to
+    (256, 128) tiles in HBM before the call and sliced the output after,
+    which roughly tripled HBM traffic and made the kernel LOSE to XLA
+    (32.1 vs 34.4 seq/s, BASELINE.md r1). Blocks are now the true
+    (N, d) shapes; Mosaic pads the VMEM tiles internally, so HBM moves
+    only real bytes.
+  - Whole-block kernels (no online-softmax streaming): N <= 243 fits in
+    VMEM with room to spare, so streaming would only add bookkeeping.
+  - ``flash_attention_packed`` covers the spatial N=17 layout: G windows
+    are packed into one MXU tile per grid cell with a block-diagonal
+    mask, turning 17x17 matmuls (terrible MXU occupancy) into
+    (G*17)x(G*17) ones.
 
 A custom VJP implements the matching fused backward (dV/dQ/dK from the
-recomputed probability block), so the kernel is usable in training.
+recomputed probability block), so the kernels serve train + eval.
 
 Reference semantics: ``hpe/mh_so3_hpe/architectures/mix_ste.py:255-282``
 (scores * scale, softmax over keys, no masking inside a window).
@@ -18,7 +30,6 @@ Reference semantics: ``hpe/mh_so3_hpe/architectures/mix_ste.py:255-282``
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -26,34 +37,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def _needs_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
-    q = q_ref[0].astype(jnp.float32)  # (N_pad, d)
+# ---------------------------------------------------------------------------
+# dense whole-sequence kernel (temporal layout: N=243)
+# ---------------------------------------------------------------------------
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32)  # (N, d)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (N_pad, N_pad)
-    n_pad = scores.shape[-1]
-    if n_valid < n_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col < n_valid, scores, -jnp.inf)
+    ) * scale  # (N, N)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _bwd_kernel(
-    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-    *, scale: float, n_valid: int,
-):
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                *, scale: float):
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
@@ -62,10 +66,6 @@ def _bwd_kernel(
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    n_pad = scores.shape[-1]
-    if n_valid < n_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col < n_valid, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)  # (N, N)
 
     dv = jax.lax.dot_general(
@@ -85,10 +85,9 @@ def _bwd_kernel(
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _block_specs(n_pad: int, d_pad: int, n: int):
-    return pl.BlockSpec(
-        (1, n_pad, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
+def _spec(n: int, d: int):
+    return pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -97,28 +96,22 @@ def flash_attention(q, k, v, scale: float):
     return _forward(q, k, v, scale)
 
 
-def _pad_inputs(q, k, v):
-    b, h, n, d = q.shape
-    n_pad = max(_round_up(n, 128), 128)
-    d_pad = max(_round_up(d, 128), 128)
-    def pad(x):
-        x = x.reshape(b * h, n, d)
-        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
-    return pad(q), pad(k), pad(v), (b, h, n, d, n_pad, d_pad)
-
-
 def _forward(q, k, v, scale):
-    qp, kp, vp, (b, h, n, d, n_pad, d_pad) = _pad_inputs(q, k, v)
-    spec = _block_specs(n_pad, d_pad, n)
+    b, h, n, d = q.shape
+
+    def flat(x):
+        return x.reshape(b * h, n, d)
+
+    spec = _spec(n, d)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, n_valid=n),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        functools.partial(_fwd_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
         grid=(b * h,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         interpret=_needs_interpret(),
-    )(qp, kp, vp)
-    return out[:, :n, :d].reshape(b, h, n, d)
+    )(flat(q), flat(k), flat(v))
+    return out.reshape(b, h, n, d)
 
 
 def _forward_fwd(q, k, v, scale):
@@ -127,25 +120,158 @@ def _forward_fwd(q, k, v, scale):
 
 def _forward_bwd(scale, residuals, g):
     q, k, v = residuals
-    qp, kp, vp, (b, h, n, d, n_pad, d_pad) = _pad_inputs(q, k, v)
-    gp = jnp.pad(
-        g.reshape(b * h, n, d), ((0, 0), (0, n_pad - n), (0, d_pad - d))
-    )
-    spec = _block_specs(n_pad, d_pad, n)
-    shape = jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype)
+    b, h, n, d = q.shape
+
+    def flat(x):
+        return x.reshape(b * h, n, d)
+
+    spec = _spec(n, d)
+    shape = jax.ShapeDtypeStruct((b * h, n, d), q.dtype)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, n_valid=n),
+        functools.partial(_bwd_kernel, scale=scale),
         out_shape=(shape, shape, shape),
         grid=(b * h,),
         in_specs=[spec] * 4,
         out_specs=(spec, spec, spec),
         interpret=_needs_interpret(),
-    )(qp, kp, vp, gp)
+    )(flat(q), flat(k), flat(v), flat(g))
 
-    def unpad(x):
-        return x[:, :n, :d].reshape(b, h, n, d)
+    def unflat(x):
+        return x.reshape(b, h, n, d)
 
-    return unpad(dq), unpad(dk), unpad(dv)
+    return unflat(dq), unflat(dk), unflat(dv)
 
 
 flash_attention.defvjp(_forward_fwd, _forward_bwd)
+
+
+# ---------------------------------------------------------------------------
+# packed block-diagonal kernel (spatial layout: N=17, huge folded batch)
+# ---------------------------------------------------------------------------
+def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n: int):
+    # block (1, G*N, d): the G windows are pre-flattened on the host side
+    # (a free contiguous reshape in HBM; Mosaic cannot shape-cast
+    # (G, N, d) -> (G*N, d) inside the kernel)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (G*N, G*N)
+    row_w = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) // n
+    col_w = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) // n
+    scores = jnp.where(row_w == col_w, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                       *, scale: float, n: int):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    row_w = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) // n
+    col_w = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) // n
+    mask = row_w == col_w
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    dv = jax.lax.dot_general(
+        probs, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    # masked entries have probs==0 so ds==0 there already
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _pick_group(bh: int, n: int, target_rows: int = 256) -> int:
+    """Largest G dividing bh with G*n <= target_rows."""
+    g = max(1, target_rows // n)
+    while g > 1 and bh % g:
+        g -= 1
+    return g
+
+
+def _packed_spec(g: int, n: int, d: int):
+    return pl.BlockSpec((1, g * n, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_packed(q, k, v, scale: float):
+    """Fused attention for tiny N: packs G windows per MXU tile.
+
+    q, k, v: (B, h, N, d) -> (B, h, N, d). Each grid cell computes one
+    (G*N, G*N) score matrix with a block-diagonal window mask instead of
+    G separate NxN ones.
+    """
+    return _packed_forward(q, k, v, scale)
+
+
+def _packed_forward(q, k, v, scale):
+    b, h, n, d = q.shape
+    bh = b * h
+    g = _pick_group(bh, n)
+
+    def flat(x):
+        return x.reshape(bh // g, g * n, d)
+
+    spec = _packed_spec(g, n, d)
+    out = pl.pallas_call(
+        functools.partial(_packed_fwd_kernel, scale=scale, n=n),
+        out_shape=jax.ShapeDtypeStruct((bh // g, g * n, d), q.dtype),
+        grid=(bh // g,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        interpret=_needs_interpret(),
+    )(flat(q), flat(k), flat(v))
+    return out.reshape(b, h, n, d)
+
+
+def _packed_forward_fwd(q, k, v, scale):
+    return _packed_forward(q, k, v, scale), (q, k, v)
+
+
+def _packed_forward_bwd(scale, residuals, grad):
+    q, k, v = residuals
+    b, h, n, d = q.shape
+    bh = b * h
+    g = _pick_group(bh, n)
+
+    def flat(x):
+        return x.reshape(bh // g, g * n, d)
+
+    spec = _packed_spec(g, n, d)
+    shape = jax.ShapeDtypeStruct((bh // g, g * n, d), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, scale=scale, n=n),
+        out_shape=(shape, shape, shape),
+        grid=(bh // g,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        interpret=_needs_interpret(),
+    )(flat(q), flat(k), flat(v), flat(grad))
+
+    def unflat(x):
+        return x.reshape(b, h, n, d)
+
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
+flash_attention_packed.defvjp(_packed_forward_fwd, _packed_forward_bwd)

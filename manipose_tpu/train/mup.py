@@ -13,10 +13,14 @@ the same width-scaling rules are implemented directly:
 - readout scaling is handled in the models (input divided by
   width_mult when ``mup=True``);
 - attention uses 1/d scores and residuals scale by 1/sqrt(depth) in the
-  blocks (``mix_ste.py:243,330``).
-
-Width-only muP: the reference's extra sequence-length base-shape axis
-("width-seq_scaling") is intentionally not reproduced.
+  blocks (``mix_ste.py:243,330``);
+- the reference's "width-seq_scaling" base shapes vary BOTH channels
+  (64 vs 128) and seq_len (27 vs 81) between the base and delta models
+  (``main_h36m_lifting.py:683-691``), which makes the temporal
+  positional table (L, C) two-infinite-dimensional — mup's MuAdam then
+  scales its LR by 1/width_mult like any matrix-like weight. The same
+  rule is applied here (``temporal_pos_embed``); the spatial table
+  (J=17, C) keeps one infinite dim and full LR.
 """
 
 from __future__ import annotations
@@ -33,6 +37,9 @@ _MATRIX_LIKE = (
     r"mlp/fc1/kernel$",
     r"mlp/fc2/kernel$",
     r"heads/pred_kernel$",
+    # seq-scaling axis: (L, C) tables have two infinite dims under the
+    # reference's width-seq base shapes (main_h36m_lifting.py:683-691)
+    r"temporal_pos_embed$",
 )
 
 

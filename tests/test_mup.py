@@ -64,18 +64,23 @@ class TestMuP:
         assert flat["ste_block_0/mlp/fc1/kernel"] == 0.5
         assert flat["ste_block_0/attn/qkv/bias"] == 1.0
         assert flat["spatial_embed/kernel"] == 1.0  # fixed fan_in
-        assert flat["spatial_pos_embed"] == 1.0
+        assert flat["spatial_pos_embed"] == 1.0  # one infinite dim (J fixed)
+        # (L, C) table: two infinite dims under width-seq base shapes
+        assert flat["temporal_pos_embed"] == 0.5
         assert flat["head/kernel"] == 1.0  # readout handled in forward
 
-    def test_coordinate_check_stable_across_width(self):
+    @pytest.mark.parametrize("depth", [2, 4])
+    def test_coordinate_check_stable_across_width(self, depth):
         """muP coord-check: hidden-activation magnitudes and the per-step
-        *change* of the trunk features stay Theta(1) as width grows
-        (cf. useful_aux_scripts/mup_check.py)."""
+        *change* of the trunk features stay Theta(1) as width grows, at
+        two depths (cf. useful_aux_scripts/mup_check.py)."""
+        import dataclasses
+
         import optax
 
         act_mag, delta_mag = {}, {}
         for width in (32, 64, 128):
-            cfg = _cfg(width)
+            cfg = dataclasses.replace(_cfg(width), depth=depth)
             model = MixSTE(cfg)
             trunk = MixSTE(cfg, apply_head=False)
             params = model.init(jax.random.PRNGKey(1), _x())

@@ -112,3 +112,55 @@ class TestPallasTemporalVariant:
         p2, s2 = m_pt.apply(params, x)
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=5e-5)
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+
+
+class TestPackedFlashAttention:
+    """Block-diagonal packed kernel for the spatial N=17 layout."""
+
+    @pytest.mark.parametrize("b,h,n,d", [(6, 4, 17, 64), (8, 2, 17, 32),
+                                         (5, 1, 17, 64)])
+    def test_forward_matches_xla(self, b, h, n, d):
+        from manipose_tpu.ops.pallas_attention import flash_attention_packed
+
+        q, k, v = _qkv(b, h, n, d, seed=2)
+        scale = d**-0.5
+        ours = flash_attention_packed(q, k, v, scale)
+        ref = jax.nn.softmax(
+            jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale, axis=-1
+        )
+        ref = jnp.einsum("bhnm,bhmd->bhnd", ref, v)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_gradients_match_xla(self):
+        from manipose_tpu.ops.pallas_attention import flash_attention_packed
+
+        b, h, n, d = 6, 2, 17, 32
+        q, k, v = _qkv(b, h, n, d, seed=3)
+        scale = d**-0.5
+
+        def loss_packed(q, k, v):
+            return jnp.sum(flash_attention_packed(q, k, v, scale) ** 2)
+
+        def loss_xla(q, k, v):
+            p = jax.nn.softmax(
+                jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale, axis=-1
+            )
+            return jnp.sum(jnp.einsum("bhnm,bhmd->bhnd", p, v) ** 2)
+
+        g_ours = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for ours, ref, name in zip(g_ours, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(ours), np.asarray(ref), atol=5e-4,
+                err_msg=f"d{name} mismatch",
+            )
+
+    def test_group_picker(self):
+        from manipose_tpu.ops.pallas_attention import _pick_group
+
+        # flagship spatial fold: B*L*h = 16*243*8 = 31104; largest G <= 15
+        # dividing it is 12 (12*17 = 204 rows per tile)
+        assert _pick_group(31104, 17) == 12
+        assert _pick_group(7, 17) == 7
+        assert _pick_group(1, 243) == 1

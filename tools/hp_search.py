@@ -1,12 +1,15 @@
 #!/usr/bin/env python
-"""Hyper-parameter search over driver objectives.
+"""Hyper-parameter search over driver objectives (TPE by default).
 
 The reference wires hydra-optuna-sweeper and returns ``best_valid_mpjpe``
 from ``main`` as the objective (``hpe/main_h36m_lifting.py:1264-1266``).
-optuna isn't available in this environment, so this implements the same
-capability with random search over override spaces.
+optuna isn't available in this environment, so the same capability is
+implemented natively: a TPE sampler (``manipose_tpu/utils/tpe.py``) with
+JSONL sweep persistence/resume and a best-trial report. ``--sampler
+random`` recovers plain random search.
 
-  python tools/hp_search.py --driver toy --trials 8 \\
+  python tools/hp_search.py --driver toy --trials 12 --sampler tpe \\
+      --journal /tmp/sweep.jsonl \\
       --space train.lr=loguniform:1e-4,1e-2 model.hidden_features=choice:16,32,64 \\
       -- data.scenario=hard-2 model.arch=constrained_rmcl train.epochs=30
 """
@@ -17,30 +20,23 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-import numpy as np
-
-from manipose_tpu.config import load_config
-
-
-def sample(space_spec: str, rng: np.random.Generator):
-    kind, args = space_spec.split(":", 1)
-    if kind == "choice":
-        return rng.choice(args.split(","))
-    lo, hi = (float(x) for x in args.split(","))
-    if kind == "uniform":
-        return float(rng.uniform(lo, hi))
-    if kind == "loguniform":
-        return float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
-    if kind == "int":
-        return int(rng.integers(int(lo), int(hi) + 1))
-    raise ValueError(f"unknown space kind: {kind}")
+from manipose_tpu.config import load_config  # noqa: E402
+from manipose_tpu.utils.tpe import (  # noqa: E402
+    RandomSampler,
+    TPESampler,
+    parse_space,
+    run_sweep,
+)
 
 
 def main():
-    ap = argparse.ArgumentParser()
+    ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--driver", choices=["h36m", "3dhp", "toy"], default="toy")
     ap.add_argument("--trials", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sampler", choices=["tpe", "random"], default="tpe")
+    ap.add_argument("--journal", type=Path, default=None,
+                    help="JSONL sweep state; resumes if it exists")
     ap.add_argument("--space", nargs="+", required=True)
     ap.add_argument("rest", nargs="*")
     args = ap.parse_args()
@@ -58,23 +54,24 @@ def main():
 
         base_cfg = "config"
 
-    space = dict(s.split("=", 1) for s in args.space)
-    rng = np.random.default_rng(args.seed)
-    results = []
-    for trial in range(args.trials):
+    space = parse_space(args.space)
+    sampler_cls = TPESampler if args.sampler == "tpe" else RandomSampler
+    sampler = sampler_cls(space, seed=args.seed)
+
+    def objective(params, trial):
         overrides = list(args.rest)
-        sampled = {k: sample(v, rng) for k, v in space.items()}
-        overrides += [f"{k}={v}" for k, v in sampled.items()]
+        overrides += [f"{k}={v}" for k, v in params.items()]
         overrides += [f"run.experiment=hp_trial_{trial}"]
         cfg = load_config(base_cfg, overrides=overrides)
-        objective = run(cfg)
-        results.append((objective, sampled))
-        print(f"[trial {trial}] objective={objective} params={sampled}",
-              flush=True)
+        return run(cfg)
 
-    results = [r for r in results if r[0] is not None]
-    results.sort(key=lambda r: r[0])
-    print("\nbest:", results[0] if results else "n/a")
+    best_params, best_value, history = run_sweep(
+        objective, space, args.trials, sampler=sampler, journal=args.journal
+    )
+    n_ok = sum(1 for _, y in history if y is not None)
+    print(f"\nsweep report: {len(history)} trials ({n_ok} finished)")
+    print(f"best objective: {best_value}")
+    print(f"best params:    {best_params}")
 
 
 if __name__ == "__main__":
