@@ -1,3 +1,17 @@
-from .mesh import make_mesh, param_spec, replicate, shard_batch, shard_params
+from .mesh import (
+    fsdp_param_spec,
+    make_mesh,
+    param_spec,
+    replicate,
+    shard_batch,
+    shard_params,
+)
 
-__all__ = ["make_mesh", "param_spec", "replicate", "shard_batch", "shard_params"]
+__all__ = [
+    "fsdp_param_spec",
+    "make_mesh",
+    "param_spec",
+    "replicate",
+    "shard_batch",
+    "shard_params",
+]

@@ -55,11 +55,45 @@ def param_spec(path: str) -> P:
     return P()  # replicated
 
 
-def shard_params(params, mesh: Mesh):
-    """Place a param pytree on the mesh per the TP rules."""
+def fsdp_param_spec(path: str, shape, data_size: int) -> P:
+    """ZeRO-3-style spec: on top of the TP rules, shard the largest
+    still-free axis divisible by the ``data`` mesh size over ``data``.
+
+    With params laid out this way and the jitted step's output shardings
+    matching, XLA inserts the all-gather-on-use / reduce-scatter-on-grad
+    pattern automatically — per-device param+optimizer memory drops by
+    ~the data-axis size, which is what makes >1B-param variants of this
+    trunk trainable on a pod slice.
+    """
+    spec = list(param_spec(path))
+    spec += [None] * (len(shape) - len(spec))
+    if data_size > 1 and len(shape) >= 1:
+        order = sorted(range(len(shape)), key=lambda i: -shape[i])
+        for i in order:
+            if spec[i] is None and shape[i] % data_size == 0 and shape[i] >= data_size:
+                spec[i] = "data"
+                break
+    while spec and spec[-1] is None:
+        spec.pop()
+    return P(*spec)
+
+
+def shard_params(params, mesh: Mesh, mode: str = "tp"):
+    """Place a param pytree on the mesh.
+
+    mode="tp"   — Megatron TP rules on the trunk matmuls, rest replicated
+    mode="fsdp" — TP rules + largest free axis sharded over ``data``
+                  (fully-sharded data parallelism / ZeRO-3)
+    """
+    assert mode in ("tp", "fsdp"), mode
+    data_size = mesh.shape.get("data", 1)
 
     def place(path, x):
-        spec = param_spec(jax.tree_util.keystr(path, simple=True, separator="/"))
+        p = jax.tree_util.keystr(path, simple=True, separator="/")
+        if mode == "fsdp":
+            spec = fsdp_param_spec(p, np.shape(x), data_size)
+        else:
+            spec = param_spec(p)
         if np.ndim(x) < len([a for a in spec if a is not None]):
             spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))

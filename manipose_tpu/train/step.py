@@ -46,11 +46,17 @@ def make_train_step(
     skeleton: Optional[Skeleton],
     tx: optax.GradientTransformation,
     donate: bool = True,
+    accum_steps: int = 1,
 ):
     """Build the jitted train step.
 
     apply_fn(params, x, deterministic, rngs) -> prediction.
     Returns step(state, pose_2d, pose_3d, lr) -> (state, metrics dict).
+
+    accum_steps > 1 splits the batch into that many microbatches and
+    accumulates gradients with ``lax.scan`` before the single optimizer
+    update — large effective batches without the activation memory
+    (each microbatch's activations die before the next starts).
     """
 
     def loss_fn(params, pose_2d, pose_3d, dropout_rng):
@@ -63,6 +69,41 @@ def make_train_step(
         total, terms = compute_loss(prediction, pose_3d, loss_cfg, skeleton)
         return total, terms
 
+    def accumulate_grads(params, pose_2d, pose_3d, dropout_rng):
+        if accum_steps == 1:
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                params, pose_2d, pose_3d, dropout_rng
+            )
+        b = pose_2d.shape[0]
+        assert b % accum_steps == 0, (
+            f"batch {b} not divisible by accum_steps {accum_steps}"
+        )
+        micro = b // accum_steps
+        x_mb = pose_2d.reshape(accum_steps, micro, *pose_2d.shape[1:])
+        y_mb = pose_3d.reshape(accum_steps, micro, *pose_3d.shape[1:])
+        rngs = jax.random.split(dropout_rng, accum_steps)
+
+        def body(carry, mb):
+            g_acc, total_acc, terms_acc = carry
+            x, y, r = mb
+            (total, terms), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, x, y, r
+            )
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+            terms_acc = jax.tree_util.tree_map(jnp.add, terms_acc, terms)
+            return (g_acc, total_acc + total, terms_acc), None
+
+        (total0, terms0), g0 = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x_mb[0], y_mb[0], rngs[0]
+        )
+        (g, total, terms), _ = jax.lax.scan(
+            body, (g0, total0, terms0), (x_mb[1:], y_mb[1:], rngs[1:])
+        )
+        inv = 1.0 / accum_steps
+        g = jax.tree_util.tree_map(lambda v: v * inv, g)
+        terms = jax.tree_util.tree_map(lambda v: v * inv, terms)
+        return (total * inv, terms), g
+
     def step(state: TrainState, pose_2d, pose_3d, lr, n_valid: int = None):
         if n_valid is not None:
             # drop duplicated padding rows of a partial final batch
@@ -70,7 +111,7 @@ def make_train_step(
             pose_2d = pose_2d[:n_valid]
             pose_3d = pose_3d[:n_valid]
         rng, dropout_rng = jax.random.split(state.rng)
-        (total, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (total, terms), grads = accumulate_grads(
             state.params, pose_2d, pose_3d, dropout_rng
         )
         opt_state = state.opt_state

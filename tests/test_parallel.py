@@ -117,3 +117,102 @@ class TestShardedNumericalConsistency:
         np.testing.assert_allclose(
             np.asarray(scores1), np.asarray(scores2), atol=1e-5
         )
+
+
+class TestFSDP:
+    def test_fsdp_spec_shards_largest_free_axis(self):
+        from manipose_tpu.parallel.mesh import fsdp_param_spec
+
+        # plain 2D kernel (in=32, out=96): largest axis 96 -> data
+        assert fsdp_param_spec("x/some/kernel", (32, 96), 4) == P(None, "data")
+        # TP already owns out -> data goes on in
+        assert fsdp_param_spec("x/attn/qkv/kernel", (32, 96), 4) == P("data", "model")
+        # bias under TP stays model-sharded; no free divisible axis left
+        assert fsdp_param_spec("x/attn/qkv/bias", (96,), 4) == P("model")
+        # small vector not divisible -> replicated
+        assert fsdp_param_spec("x/norm/scale", (17,), 4) == P()
+        # data axis of size 1 -> pure TP
+        assert fsdp_param_spec("x/some/kernel", (32, 96), 1) == P()
+
+    def test_fsdp_step_matches_single_device(self):
+        """ZeRO-3 param sharding must not change the numbers."""
+        model = RMCLManifoldMixSTE(CFG, SKEL)
+        x, y = _data(8)
+        params = model.init(jax.random.PRNGKey(0), x[:1])
+        tx = make_optimizer(weight_decay=1e-6)
+        step = make_train_step(
+            model.apply, LossConfig(rmcl=True), SKEL, tx, donate=False
+        )
+        state1 = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        state1, m1 = step(state1, x, y, 1e-3)
+
+        mesh = make_mesh(data=4, model=2)
+        with mesh:
+            fsdp_params = shard_params(params, mesh, mode="fsdp")
+            state2 = TrainState.create(fsdp_params, tx, jax.random.PRNGKey(1))
+            xs, ys = shard_batch((x, y), mesh)
+            state2, m2 = step(state2, xs, ys, 1e-3)
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+        )
+        # params actually sharded over data: check one trunk kernel's
+        # sharding carries the 'data' axis
+        leaves = jax.tree_util.tree_flatten_with_path(state2.params)[0]
+        specs = {
+            jax.tree_util.keystr(p, simple=True, separator="/"):
+            v.sharding.spec for p, v in leaves if hasattr(v, "sharding")
+        }
+        qkv = [s for k, s in specs.items() if k.endswith("attn/qkv/kernel")]
+        assert qkv and all("data" in str(s) for s in qkv), qkv[:2]
+
+
+class TestGradAccumulation:
+    def test_accumulated_step_matches_full_batch(self):
+        """accum_steps=4 over B=8 == one full-batch step (deterministic
+        loss path; dropout disabled via drop rates = 0)."""
+        model = RMCLManifoldMixSTE(CFG, SKEL)
+        x, y = _data(8)
+        params = model.init(jax.random.PRNGKey(0), x[:1])
+        tx = make_optimizer(weight_decay=1e-6)
+
+        step_full = make_train_step(
+            model.apply, LossConfig(rmcl=True), SKEL, tx, donate=False
+        )
+        step_accum = make_train_step(
+            model.apply, LossConfig(rmcl=True), SKEL, tx, donate=False,
+            accum_steps=4,
+        )
+        s1 = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        s2 = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        s1, m1 = step_full(s1, x, y, 1e-3)
+        s2, m2 = step_accum(s2, x, y, 1e-3)
+        # WTA/BCE losses are per-sample means -> microbatch means average
+        # exactly to the full-batch mean (equal microbatch sizes)
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.params),
+            jax.tree_util.tree_leaves(s2.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-3
+            )
+
+    def test_accum_on_mesh(self):
+        """Grad accumulation composes with dp x tp sharding."""
+        model = RMCLManifoldMixSTE(CFG, SKEL)
+        x, y = _data(8)
+        params = model.init(jax.random.PRNGKey(0), x[:1])
+        tx = make_optimizer(weight_decay=1e-6)
+        step = make_train_step(
+            model.apply, LossConfig(rmcl=True), SKEL, tx, donate=False,
+            accum_steps=2,
+        )
+        mesh = make_mesh(data=4, model=2)
+        with mesh:
+            sp = shard_params(params, mesh, mode="fsdp")
+            state = TrainState.create(sp, tx, jax.random.PRNGKey(1))
+            xs, ys = shard_batch((x, y), mesh)
+            state, m = step(state, xs, ys, 1e-3)
+        assert np.isfinite(float(m["loss"]))
