@@ -10,9 +10,11 @@ flagship shape). Spatial (N=17) is dominated by tiny-matmul overhead, so
 the default path PACKS G=8 windows into one block-diagonal attention per
 batched matmul (``_xla_packed_attention``): measured 4.3/6.6 ms fwd/grad
 vs 5.4/7.9 ms unpacked — a ~17 ms/step saving across the 8 spatial
-layers. The packing is numerically EXACT: masked scores sit at -1e9, so
-their softmax weights underflow to +0.0 and contribute exact zeros to
-the PV matmul.
+layers. The packing is semantics-preserving: masked scores sit at -1e9,
+so their softmax weights underflow to +0.0 and contribute exact zeros to
+the PV contraction; outputs match the per-window computation up to
+reduction-order rounding (~2e-7 in fp32 — the packed einsum regroups
+the partial sums), which is far below the 5e-5 parity tolerance.
 
 Pallas flash-attention kernels for both layouts live in
 ``pallas_attention.py`` (``impl="pallas"``); they fuse the whole chain
@@ -65,7 +67,11 @@ def multi_head_attention(
         attn = jax.nn.softmax(attn, axis=-1)
         attn = _attn_dropout(attn, dropout_rate, dropout_rng, deterministic)
         out = jnp.einsum("bhde,bhne->bhnd", attn, v)
-    elif q.shape[2] <= 32 and (deterministic or dropout_rate == 0.0):
+    elif (
+        q.shape[2] <= 32
+        and (deterministic or dropout_rate == 0.0)
+        and largest_dividing_group(q.shape[0] * q.shape[1], 8) > 1
+    ):
         # tiny-N (spatial) layout: block-diagonal window packing
         out = _xla_packed_attention(q, k, v, scale)
     else:
@@ -78,10 +84,11 @@ def multi_head_attention(
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, h * d)
 
 
-def _packing_group(bh: int, preferred: int = 8) -> int:
-    """Largest g <= preferred dividing bh (g=8 measured fastest: 136-row
-    score tiles; 16 regresses)."""
-    g = preferred
+def largest_dividing_group(bh: int, max_group: int) -> int:
+    """Largest g <= max_group dividing bh. Shared by the XLA packed path
+    (max_group=8 — measured fastest, 136-row score tiles; 16 regresses)
+    and the packed Pallas kernel (max_group = 256 // n rows/tile)."""
+    g = max(1, max_group)
     while g > 1 and bh % g:
         g -= 1
     return g
@@ -90,17 +97,15 @@ def _packing_group(bh: int, preferred: int = 8) -> int:
 def _xla_packed_attention(q, k, v, scale):
     """Batch G windows into one (G*N, G*N) block-diagonal attention.
 
-    Exact: masked scores are -1e9, whose softmax weights underflow to
-    +0.0, contributing exact zeros in the PV contraction — outputs are
-    bit-identical to the per-window computation in the same dtype.
+    Masked scores are -1e9, whose softmax weights underflow to +0.0 and
+    contribute exact zeros in the PV contraction; outputs match the
+    per-window computation up to reduction-order rounding (~2e-7 fp32 —
+    the packed einsum regroups partial sums).
     """
     b, h, n, d = q.shape
     bh = b * h
-    g = _packing_group(bh)
-    if g == 1:
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
-        attn = jax.nn.softmax(attn, axis=-1)
-        return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    g = largest_dividing_group(bh, 8)
+    assert g > 1, "caller dispatches here only when packing applies"
 
     def flat(x):
         return x.reshape(bh // g, g * n, d)

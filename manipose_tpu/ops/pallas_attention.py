@@ -202,10 +202,9 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
 
 def _pick_group(bh: int, n: int, target_rows: int = 256) -> int:
     """Largest G dividing bh with G*n <= target_rows."""
-    g = max(1, target_rows // n)
-    while g > 1 and bh % g:
-        g -= 1
-    return g
+    from .attention import largest_dividing_group
+
+    return largest_dividing_group(bh, max(1, target_rows // n))
 
 
 def _packed_spec(g: int, n: int, d: int):

@@ -292,11 +292,7 @@ def figure4(save_path, seed=0, epochs=50, n_train=1000, n_test=40):
     ax1.set_title("(A)", weight="bold")
 
     (query, acc_out, acc_probs, euc, mani) = create_oracle_minimizers(hard2)
-    point_models = {
-        k: v for k, v in panels["C"]["preds"].items()
-        if k != "constrained_rmcl"
-    }
-    # predictions at the ambiguous query input
+    # point-prediction models forwarded at the ambiguous query input
     query_preds = {}
     for name, tr in panels["C"]["trainers"].items():
         if name == "constrained_rmcl":
@@ -307,7 +303,6 @@ def figure4(save_path, seed=0, epochs=50, n_train=1000, n_test=40):
                          query_preds, inputs_offset=1.5, ax=ax2,
                          display_legend=False)
     ax2.set_title("(B)", weight="bold")
-    del point_models
 
     for ax, key, title in ((ax3, "C", "(C)"), (ax4, "D", "(D)")):
         d = panels[key]

@@ -75,9 +75,14 @@ def make_train_step(
                 params, pose_2d, pose_3d, dropout_rng
             )
         b = pose_2d.shape[0]
-        assert b % accum_steps == 0, (
-            f"batch {b} not divisible by accum_steps {accum_steps}"
-        )
+        if b % accum_steps:
+            # partial final batches (n_valid slicing) may not split into
+            # equal microbatches; take the single-shot gradient instead
+            # (this is a per-n_valid retrace anyway, so the branch is
+            # resolved at trace time)
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                params, pose_2d, pose_3d, dropout_rng
+            )
         micro = b // accum_steps
         x_mb = pose_2d.reshape(accum_steps, micro, *pose_2d.shape[1:])
         y_mb = pose_3d.reshape(accum_steps, micro, *pose_3d.shape[1:])

@@ -69,6 +69,8 @@ def render_from_config(cfg, apply_fn, params, dataset, keypoints, rmcl):
             azim=cam["azimuth"],
             viewport=(cam["res_w"], cam["res_h"]),
             size=cfg.viz.viz_size,
+            input_video_path=cfg.viz.viz_video,
+            input_video_skip=cfg.viz.viz_skip,
         )
     return render_animation(
         keypoints=input_keypoints[:n],

@@ -99,7 +99,13 @@ def render_animation(
     """
     from .video import load_frames
 
-    frames = load_frames(input_video_path, input_video_skip, input_frames)
+    # bound decode length: only keypoints.shape[0] frames can ever be
+    # rendered (limit applies post-downsample), so stop the ffmpeg pipe
+    # there instead of decoding whole videos into RAM
+    frames = load_frames(
+        input_video_path, input_video_skip, input_frames,
+        max_frames=input_video_skip + keypoints.shape[0],
+    )
     if frames is not None:
         # align lengths like the reference (:144-145)
         n = min(keypoints.shape[0], frames.shape[0])

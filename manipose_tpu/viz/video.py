@@ -85,7 +85,13 @@ def load_frames(
                 f"frames must be (N, H, W, 3) rgb; got {frames.shape}"
             )
         end = max_frames if max_frames >= 1 else frames.shape[0]
-        return frames[input_video_skip:end]
+        out = frames[input_video_skip:end]
+        if out.shape[0] == 0:
+            raise ValueError(
+                f"no frames left after skip={input_video_skip} of "
+                f"{frames.shape[0]} (limit={max_frames})"
+            )
+        return out
     if input_video_path:
         out = list(
             read_video(input_video_path, skip=input_video_skip,

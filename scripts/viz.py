@@ -91,6 +91,8 @@ def main(cfg):
         downsample=cfg.viz.viz_downsample,
         size=cfg.viz.viz_size,
         bitrate=cfg.viz.viz_bitrate,
+        input_video_path=cfg.viz.viz_video,
+        input_video_skip=cfg.viz.viz_skip,
     )
     print(f"Rendered: {out}")
 
