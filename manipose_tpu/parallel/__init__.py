@@ -1,3 +1,4 @@
+from .ring_attention import ring_attention
 from .mesh import (
     fsdp_param_spec,
     make_mesh,
@@ -14,4 +15,5 @@ __all__ = [
     "replicate",
     "shard_batch",
     "shard_params",
+    "ring_attention",
 ]

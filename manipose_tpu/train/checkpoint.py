@@ -206,3 +206,118 @@ def load_torch_checkpoint(path, arch: str) -> Dict:
 
     checkpoint = torch.load(path, map_location="cpu", weights_only=False)
     return convert_torch_state_dict(checkpoint, arch)
+
+
+# ---------------------------------------------------------------------------
+# Reverse conversion: flax variables -> reference torch state dict
+# ---------------------------------------------------------------------------
+def _rev_trunk(params: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`_convert_trunk` (flax kernels (in, out) ->
+    torch Linear weights (out, in), reference naming
+    ``mix_ste.py:12-126``)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def linear(flax_name, torch_name):
+        mod = params.get(flax_name)
+        if mod is None:
+            return
+        sd[f"{prefix}{torch_name}.weight"] = _np(mod["kernel"]).T
+        sd[f"{prefix}{torch_name}.bias"] = _np(mod["bias"])
+
+    def layernorm(flax_name, torch_name):
+        mod = params.get(flax_name)
+        if mod is None:
+            return
+        sd[f"{prefix}{torch_name}.weight"] = _np(mod["scale"])
+        sd[f"{prefix}{torch_name}.bias"] = _np(mod["bias"])
+
+    linear("spatial_embed", "Spatial_patch_to_embedding")
+    if "spatial_pos_embed" in params:
+        sd[f"{prefix}Spatial_pos_embed"] = _np(params["spatial_pos_embed"])
+        sd[f"{prefix}Temporal_pos_embed"] = _np(params["temporal_pos_embed"])
+    layernorm("spatial_norm", "Spatial_norm")
+    layernorm("temporal_norm", "Temporal_norm")
+    layernorm("head_norm", "head.0")
+    linear("head", "head.1")
+
+    for blocks, name in (("STEblocks", "ste_block"), ("TTEblocks", "tte_block")):
+        i = 0
+        while f"{name}_{i}" in params:
+            block = params[f"{name}_{i}"]
+            bp = f"{prefix}{blocks}.{i}."
+            for ln in ("norm1", "norm2"):
+                sd[f"{bp}{ln}.weight"] = _np(block[ln]["scale"])
+                sd[f"{bp}{ln}.bias"] = _np(block[ln]["bias"])
+            for mod, tname in (("qkv", "attn.qkv"), ("proj", "attn.proj")):
+                sd[f"{bp}{tname}.weight"] = _np(block["attn"][mod]["kernel"]).T
+                sd[f"{bp}{tname}.bias"] = _np(block["attn"][mod]["bias"])
+            for fc in ("fc1", "fc2"):
+                sd[f"{bp}mlp.{fc}.weight"] = _np(block["mlp"][fc]["kernel"]).T
+                sd[f"{bp}mlp.{fc}.bias"] = _np(block["mlp"][fc]["bias"])
+            i += 1
+    return sd
+
+
+def _rev_mcl_heads(heads: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`_convert_mcl_heads` — stacked params back to a
+    torch ModuleList of MCLHead (``rmcl_manifold_mix_ste.py:267-298``)."""
+    sd: Dict[str, np.ndarray] = {}
+    n_hyp = int(np.shape(heads["ln_scale"])[0])
+    for h in range(n_hyp):
+        hp = f"{prefix}head.{h}."
+        sd[f"{hp}norm.weight"] = _np(heads["ln_scale"][h])
+        sd[f"{hp}norm.bias"] = _np(heads["ln_bias"][h])
+        sd[f"{hp}prediction_head.weight"] = _np(heads["pred_kernel"][h]).T
+        sd[f"{hp}prediction_head.bias"] = _np(heads["pred_bias"][h])
+        sd[f"{hp}score_head.weight"] = _np(heads["score_kernel"][h]).T
+        sd[f"{hp}score_head.bias"] = _np(heads["score_bias"][h])
+    return sd
+
+
+def _rev_segments(params: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    sd = {
+        f"{prefix}joints_to_segments_proj.weight":
+            _np(params["joints_to_segments_proj"]["kernel"]).T,
+        f"{prefix}joints_to_segments_proj.bias":
+            _np(params["joints_to_segments_proj"]["bias"]),
+    }
+    sd.update(_rev_trunk(params["trunk"], prefix))
+    return sd
+
+
+def convert_to_torch_state_dict(variables: Dict, arch: str) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_torch_state_dict`: flax variables ->
+    a reference-named state dict (numpy values), so models trained here
+    can be loaded back into the reference PyTorch code
+    (``main_h36m_lifting.py:755-761``)."""
+    params = variables.get("params", variables)
+    if arch == "mixste":
+        return _rev_trunk(params, "")
+    if arch == "manifold":
+        sd = _rev_trunk(params["rotations_module"], "rotations_module.")
+        sd.update(_rev_segments(params["segments_module"], "segments_module."))
+        return sd
+    if arch == "rmcl_manifold":
+        sd = _rev_trunk(
+            params["rotations_module"]["trunk"], "rotations_module."
+        )
+        sd.update(_rev_mcl_heads(
+            params["rotations_module"]["heads"], "rotations_module."
+        ))
+        sd.update(_rev_segments(params["segments_module"], "segments_module."))
+        return sd
+    raise ValueError(f"unknown arch: {arch}")
+
+
+def save_torch_checkpoint(path, variables: Dict, arch: str) -> None:
+    """Write a ``model.pth`` loadable by the reference drivers.
+
+    Requires torch (CPU is fine); tensors are saved fp32 under the
+    ``model_pos`` wrapper the reference loader accepts."""
+    import torch
+
+    sd = {
+        k: torch.from_numpy(np.asarray(v, np.float32))
+        for k, v in convert_to_torch_state_dict(variables, arch).items()
+    }
+    torch.save({"model_pos": sd}, path)

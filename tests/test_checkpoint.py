@@ -158,3 +158,51 @@ class TestOrbaxRoundtrip:
         np.testing.assert_array_equal(
             np.asarray(restored["nested"]["b"]), np.asarray(tree["nested"]["b"])
         )
+
+
+class TestReverseConversion:
+    """flax -> torch .pth export (models trained here load back into the
+    reference drivers, ``main_h36m_lifting.py:755-761``)."""
+
+    def test_roundtrip_torch_to_flax_to_torch(self):
+        """ref state dict -> flax -> ref state dict is the identity."""
+        from manipose_tpu.train.checkpoint import convert_to_torch_state_dict
+
+        torch.manual_seed(7)
+        tmodel = ref_rmcl.RMCLManifoldMixSTE(
+            n_hyp=DIMS["n_hyp"], **_manifold_kwargs(_reference_h36m_17())
+        )
+        sd0 = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+        variables = convert_torch_state_dict(tmodel.state_dict(), "rmcl_manifold")
+        sd1 = convert_to_torch_state_dict(variables, "rmcl_manifold")
+        assert set(sd1) == set(sd0), (
+            set(sd0) - set(sd1), set(sd1) - set(sd0)
+        )
+        for k in sd0:
+            np.testing.assert_array_equal(sd0[k], sd1[k], err_msg=k)
+
+    def test_flax_to_torch_file_and_back(self, tmp_path):
+        """save_torch_checkpoint emits a .pth our loader converts back to
+        the identical flax pytree (model_pos wrapper honored)."""
+        from manipose_tpu.train.checkpoint import (
+            load_torch_checkpoint,
+            save_torch_checkpoint,
+        )
+
+        cfg = MixSTEConfig(
+            num_frame=9, num_joints=17, embed_dim=32, depth=2, num_heads=4,
+            drop_path_rate=0.0,
+        )
+        model = MixSTE(cfg)
+        x = jnp.zeros((1, 9, 17, 2))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        path = tmp_path / "exported.pth"
+        save_torch_checkpoint(path, variables, "mixste")
+        restored = load_torch_checkpoint(path, "mixste")
+        for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(variables["params"])[0],
+            jax.tree_util.tree_flatten_with_path(restored["params"])[0],
+        ):
+            assert p1 == p2
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7, err_msg=str(p1))

@@ -216,3 +216,61 @@ class TestGradAccumulation:
             xs, ys = shard_batch((x, y), mesh)
             state, m = step(state, xs, ys, 1e-3)
         assert np.isfinite(float(m["loss"]))
+
+
+class TestRingAttention:
+    """Sequence/context parallelism: exact attention with the sequence
+    axis sharded around the ring (SURVEY §2.8 long-context path)."""
+
+    def _dense(self, q, k, v, scale):
+        p = jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale, -1)
+        return jnp.einsum("bhnm,bhmd->bhnd", p, v)
+
+    @pytest.mark.parametrize("ring,n", [(4, 32), (8, 64), (2, 6)])
+    def test_matches_dense_attention(self, ring, n):
+        from manipose_tpu.parallel import make_mesh, ring_attention
+
+        mesh = make_mesh(data=8 // ring, model=ring)
+        rng = np.random.default_rng(0)
+        b, h, d = 2, 4, 16
+        q, k, v = [
+            jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+            for _ in range(3)
+        ]
+        scale = d ** -0.5
+        out = ring_attention(q, k, v, scale, mesh, axis="model")
+        ref = self._dense(q, k, v, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-6)
+
+    def test_gradients_match_dense(self):
+        from manipose_tpu.parallel import make_mesh, ring_attention
+
+        mesh = make_mesh(data=2, model=4)
+        rng = np.random.default_rng(1)
+        b, h, n, d = 2, 2, 16, 8
+        q, k, v = [
+            jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+            for _ in range(3)
+        ]
+        scale = d ** -0.5
+
+        def loss_ring(q, k, v):
+            return jnp.sum(ring_attention(q, k, v, scale, mesh, "model") ** 2)
+
+        def loss_dense(q, k, v):
+            return jnp.sum(self._dense(q, k, v, scale) ** 2)
+
+        g1 = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, b_, name in zip(g1, g2, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=5e-6, err_msg=f"d{name}")
+
+    def test_rejects_indivisible_sequence(self):
+        from manipose_tpu.parallel import make_mesh, ring_attention
+
+        mesh = make_mesh(data=2, model=4)
+        q = jnp.zeros((1, 1, 10, 8))
+        with pytest.raises(AssertionError, match="not divisible"):
+            ring_attention(q, q, q, 1.0, mesh, axis="model")
