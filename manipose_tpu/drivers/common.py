@@ -27,9 +27,10 @@ from ..models import (
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 
-def instantiate_model(cfg: Config, skeleton: Skeleton):
+def instantiate_model(cfg: Config, skeleton: Skeleton, quant: bool = False):
     """Model factory (``main_h36m_lifting.py:613-670``). Returns
-    (flax module, is_rmcl)."""
+    (flax module, is_rmcl). ``quant=True`` builds the int8-serving
+    variant (``ops/quant.py``)."""
     m = cfg.model
     dtype = _DTYPES[m.get("dtype", "float32")]
     attn_impl = m.get("attn_impl", "xla")
@@ -47,6 +48,7 @@ def instantiate_model(cfg: Config, skeleton: Skeleton):
                 mup=m.mup,
                 dtype=dtype,
                 attn_impl=attn_impl,
+                quant=quant,
             )
         )
         return model, False
@@ -67,6 +69,7 @@ def instantiate_model(cfg: Config, skeleton: Skeleton):
         mup=m.mup,
         dtype=dtype,
         attn_impl=attn_impl,
+        quant=quant,
     )
     if m.arch == "manifold":
         return ManifoldMixSTE(manifold_cfg, skeleton), False

@@ -47,6 +47,7 @@ class ManifoldConfig:
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    quant: bool = False
 
     def rot_trunk_config(self) -> MixSTEConfig:
         return MixSTEConfig(
@@ -68,6 +69,7 @@ class ManifoldConfig:
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            quant=self.quant,
         )
 
     def seg_trunk_config(self) -> MixSTEConfig:
@@ -92,6 +94,7 @@ class ManifoldConfig:
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            quant=self.quant,
         )
 
 

@@ -48,8 +48,9 @@ class MixSTEConfig:
     drop_path_rate: float = 0.2
     mup: bool = False
     # muP base width (reference base-shape model uses channels=64,
-    # ``main_h36m_lifting.py:683-687``). Width-only muP: the reference's
-    # additional seq-len base-shape scaling is not reproduced.
+    # ``main_h36m_lifting.py:683-687``); the seq-len base-shape axis is
+    # reproduced in the optimizer rules (train/mup.py: the temporal
+    # positional table is matrix-like under width-seq base shapes)
     mup_base_width: int = 64
     # TPU policy knobs (no reference counterpart)
     dtype: jnp.dtype = jnp.float32
@@ -57,6 +58,10 @@ class MixSTEConfig:
     # rematerialize blocks in the backward pass (trade FLOPs for HBM;
     # enables much larger batches at 243 frames)
     remat: bool = False
+    # int8 weight+activation matmuls for the trunk's hot Dense layers
+    # (serving only — see ops/quant.py); the param layout changes, so
+    # float checkpoints must pass through quantize_params first
+    quant: bool = False
 
     def drop_path_rates(self):
         return np.linspace(0.0, self.drop_path_rate, self.depth).tolist()
@@ -75,15 +80,25 @@ class Mlp(nn.Module):
     out_features: int
     drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        dense = _dense_cls(self.quant)
+        x = dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
         x = jax.nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
-        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+        x = dense(self.out_features, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         return x
+
+
+def _dense_cls(quant: bool):
+    if quant:
+        from ..ops.quant import QuantDense
+
+        return QuantDense
+    return nn.Dense
 
 
 class Attention(nn.Module):
@@ -99,6 +114,7 @@ class Attention(nn.Module):
     mup: bool = False
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -109,7 +125,8 @@ class Attention(nn.Module):
         default_scale = (1.0 / head_dim) if self.mup else head_dim**-0.5
         scale = self.qk_scale or default_scale
 
-        qkv = nn.Dense(
+        dense = _dense_cls(self.quant)
+        qkv = dense(
             self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
         )(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
@@ -130,7 +147,7 @@ class Attention(nn.Module):
             deterministic=deterministic,
             impl=self.attn_impl,
         )
-        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = dense(self.dim, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 
@@ -169,6 +186,7 @@ class Block(nn.Module):
     mup: bool = False
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -183,6 +201,7 @@ class Block(nn.Module):
             mup=self.mup,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             name="attn",
         )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x),
           deterministic)
@@ -194,6 +213,7 @@ class Block(nn.Module):
             out_features=self.dim,
             drop=self.drop,
             dtype=self.dtype,
+            quant=self.quant,
             name="mlp",
         )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x),
           deterministic)
@@ -255,6 +275,7 @@ class MixSTE(nn.Module):
             residual_scale=residual_scale,
             mup=cfg.mup,
             dtype=cfg.dtype,
+            quant=cfg.quant,
         )
         # static_argnums=(2,): `deterministic` stays a python bool under
         # remat (arg 0 is self)

@@ -33,6 +33,9 @@ class Predictor:
       variables: flax variables; if None, random init (for testing).
       batch_size: static windows-per-call (padded; no recompiles).
       tta: average with the flipped input (``eval_utils.py:78-142``).
+      quantize: serve with int8 weight+activation trunk matmuls
+        (``ops/quant.py``; TPU MXUs run int8 at 2x the bf16 rate).
+        Float ``variables`` are quantized on construction.
     """
 
     def __init__(
@@ -42,6 +45,7 @@ class Predictor:
         variables=None,
         batch_size: int = 8,
         tta: bool = True,
+        quantize: bool = False,
     ):
         if cfg is None:
             cfg = load_config("config")
@@ -54,12 +58,20 @@ class Predictor:
         self.seq_len = cfg.data.seq_len
         self.batch_size = batch_size
         self.tta = tta
+        self.quantized = quantize
         self.model, self.rmcl = instantiate_model(cfg, skeleton)
         self.variables = (
             variables
             if variables is not None
             else init_model_params(self.model, cfg, skeleton.num_joints)
         )
+        if quantize:
+            from .ops.quant import quantize_params
+
+            self.model, self.rmcl = instantiate_model(
+                cfg, skeleton, quant=True
+            )
+            self.variables = quantize_params(self.variables)
 
         def forward(variables, x):
             pred = self.model.apply(variables, x, deterministic=True)

@@ -30,8 +30,10 @@ def main():
     from manipose_tpu.config import load_config
     from manipose_tpu.serving import Predictor
 
+    quantize = "--int8" in sys.argv
     cfg = load_config("config")
-    predictor = Predictor(cfg=cfg, batch_size=16, tta=True)
+    predictor = Predictor(cfg=cfg, batch_size=16, tta=True,
+                          quantize=quantize)
     rng = np.random.default_rng(0)
     video = rng.normal(size=(16 * 243, 17, 2)).astype(np.float32)
 
@@ -47,7 +49,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "rmcl_manipose_243f_eval_throughput",
+                "metric": "rmcl_manipose_243f_eval_throughput"
+                          + ("_int8" if quantize else ""),
                 "value": round(frames_per_sec, 1),
                 "unit": "frames/s",
                 "tta": True,
