@@ -189,10 +189,24 @@ def run_reference(scenario: str, arch: str, seed: int, splits, epochs=None):
                 in_features=1, hidden_features=32, out_features=1,
                 n_layers=2, act_layer=act, radius=1.0,
             )
-        else:
+        elif arch == "constrained_rmcl":
             model = ref_models.ConstrainedMlpRmcl(
                 in_features=1, hidden_features=32, out_features=1,
                 n_layers=2, act_layer=act, radius=1.0, n_hyp=5, beta=0.1,
+            )
+        else:  # diffusion baseline (conf/train/diff_hard2.yaml)
+            lr, bs, n_epochs = 1e-3, 100, epochs or 200
+            diff_cfg = _AttrDict(
+                diffusion=_AttrDict(
+                    conditioning="raw", cond_mix_mode="concat",
+                    beta_start=0.0001, beta_end=0.5, num_steps=50,
+                    schedule="cosine",
+                ),
+                model=_AttrDict(arch="mlp", hidden_features=32, layers=2),
+                multi_hyp=_AttrDict(nsamples=5, agg_strategy="average"),
+            )
+            model = ref_models.LiftingDiffusionModel(
+                config=diff_cfg, act=act, device="cpu"
             )
     else:  # torus
         lr, bs, n_epochs = 1e-3, 1000, epochs or 50
@@ -286,9 +300,21 @@ def run_ours(scenario: str, arch: str, seed: int, splits, epochs=None):
             model, kind = ToyMlp(32, 2, 2, act), "plain"
         elif arch == "constrained":
             model, kind = ConstrainedMlp(32, 2, act, 1.0), "plain"
-        else:
+        elif arch == "constrained_rmcl":
             model, kind = (
                 ConstrainedMlpRmcl(32, 2, act, 1.0, n_hyp=5, beta=0.1), "mcl"
+            )
+        else:  # diffusion
+            from manipose_tpu.toy.diffusion import LiftingDiffusionModel
+
+            lr, bs, n_epochs = 1e-3, 100, epochs or 200
+            model, kind = (
+                LiftingDiffusionModel(
+                    hidden_features=32, n_layers=2, num_steps=50,
+                    schedule="cosine", beta_start=0.0001, beta_end=0.5,
+                    n_samples=5, act=act,
+                ),
+                "diffusion",
             )
     else:
         lr, bs, n_epochs = 1e-3, 1000, epochs or 50
@@ -302,9 +328,16 @@ def run_ours(scenario: str, arch: str, seed: int, splits, epochs=None):
                 "mcl",
             )
 
-    variables = model.init(
-        {"params": jax.random.PRNGKey(seed)}, x_tr[:2], train=False
-    )
+    if kind == "diffusion":
+        variables = model.init(
+            {"params": jax.random.PRNGKey(seed),
+             "diffusion": jax.random.PRNGKey(seed + 1)},
+            x_tr[:2], y_tr[:2], False,
+        )
+    else:
+        variables = model.init(
+            {"params": jax.random.PRNGKey(seed)}, x_tr[:2], train=False
+        )
     trainer = ToyTrainer(
         model, variables,
         ToyTrainerConfig(
@@ -346,15 +379,19 @@ def run_ours(scenario: str, arch: str, seed: int, splits, epochs=None):
 
 # ---------------------------------------------------------------------------
 ARCHS = ("mlp", "constrained", "constrained_rmcl")
+# the diffusion baseline is hard-2-only and slower (200 epochs + 50-step
+# ancestral sampling); opt in with --archs ... diffusion
+ALL_ARCHS = ARCHS + ("diffusion",)
 
 
-def head_to_head(scenario: str, seeds, epochs=None, verbose=True):
+def head_to_head(scenario: str, seeds, epochs=None, verbose=True,
+                 archs=ARCHS):
     """Returns {arch: {"ref": {metric: [per-seed]}, "ours": {...}}}."""
-    results = {a: {"ref": {}, "ours": {}} for a in ARCHS}
+    results = {a: {"ref": {}, "ours": {}} for a in archs}
     for seed in seeds:
         splits = (sample_circle(seed) if scenario == "hard-2"
                   else sample_torus(seed))
-        for arch in ARCHS:
+        for arch in archs:
             ref = run_reference(scenario, arch, seed, splits, epochs)
             ours = run_ours(scenario, arch, seed, splits, epochs)
             for k, v in ref.items():
@@ -391,13 +428,18 @@ def main():
     p.add_argument("--scenarios", nargs="+", default=["hard-2", "torus"],
                    choices=["hard-2", "torus"])
     p.add_argument("--epochs-override", type=int, default=None)
+    p.add_argument("--archs", nargs="+", default=list(ARCHS),
+                   choices=list(ALL_ARCHS))
     p.add_argument("--json", type=Path,
                    default=REPO / "tools" / "artifacts" / "toy_head_to_head.json")
     args = p.parse_args()
 
     out = {}
     for scenario in args.scenarios:
-        results = head_to_head(scenario, args.seeds, args.epochs_override)
+        archs = tuple(a for a in args.archs
+                      if not (a == "diffusion" and scenario != "hard-2"))
+        results = head_to_head(scenario, args.seeds, args.epochs_override,
+                               archs=archs)
         out[scenario] = {
             "seeds": args.seeds,
             "per_seed": results,
