@@ -131,3 +131,41 @@ class TestEvalBaselinesPck:
         pck = float(out.stdout.split("3DPCK@150mm (none):")[1].split()[0])
         auc = float(out.stdout.split("AUC 0-150mm (none):")[1].split()[0])
         assert 0.0 <= auc <= pck <= 100.0
+
+
+class TestGtJointDensity:
+    """Data-side multimodality inspection (inspect_multimodality.py GT
+    density projections) from a real Human36mDataset pipeline."""
+
+    def test_density_plot_from_dataset(self, tmp_path):
+        from manipose_tpu.config import load_config
+        from manipose_tpu.drivers.h36m import fetch_and_prepare_data
+
+        # synthetic H36M-format npz pair (mirrors the driver fixtures)
+        data_dir = tmp_path / "h36m"
+        data_dir.mkdir()
+        rng = np.random.default_rng(0)
+        subjects, actions, n_frames = ["S1"], ["Walking"], 40
+        positions_3d = {
+            s: {a: rng.normal(scale=0.3, size=(n_frames, 32, 3)).astype(np.float32)
+                for a in actions} for s in subjects
+        }
+        np.savez(data_dir / "data_3d_h36m.npz", positions_3d=positions_3d)
+        positions_2d = {
+            s: {a: [rng.uniform(0, 1000, size=(n_frames, 17, 2)).astype(np.float32)
+                    for _ in range(4)]
+                for a in actions} for s in subjects
+        }
+        np.savez(data_dir / "data_2d_h36m_cpn_ft_h36m_dbb.npz",
+                 positions_2d=positions_2d)
+
+        cfg = load_config("config", overrides=[
+            f"data.data_dir={data_dir}", "data.actions=walking",
+        ])
+        keypoints, dataset = fetch_and_prepare_data(cfg)
+        out = plot_analysis.plot_gt_joint_density(
+            dataset, keypoints, subject="S1", action="walking",
+            joint="RWrist", save_path=tmp_path / "dens.png",
+            u_cond=0.1, v_cond=-0.2,
+        )
+        assert Path(out).exists() and Path(out).stat().st_size > 5_000
