@@ -184,3 +184,14 @@ class TestH36MDriver:
         # resumed run trained only epoch 2 -> exactly one loss entry
         losses = np.load(tmp_path / "resumed" / "default" / "train_loss.npy")
         assert len(losses) == 1
+
+
+def test_debug_run_with_mup(synthetic_h36m, tmp_path):
+    """End-to-end driver run with muP enabled (MuAdam-semantics optimizer
+    incl. the width-seq temporal-pos-embed rule) — must train and eval."""
+    cfg = _cfg(synthetic_h36m, tmp_path / "out_mup",
+               extra=("model.mup=true", "run.mlflow_on=false"))
+    from manipose_tpu.drivers.h36m import main
+
+    result = main(cfg)
+    assert result is not None and np.isfinite(result)
