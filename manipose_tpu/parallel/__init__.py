@@ -1,4 +1,11 @@
 from .ring_attention import ring_attention
+from .pipeline import pipeline_apply, stack_stage_params
+from .multihost import (
+    global_batch,
+    is_primary,
+    make_hybrid_mesh,
+)
+from .multihost import initialize as initialize_multihost
 from .mesh import (
     fsdp_param_spec,
     make_mesh,
@@ -10,10 +17,16 @@ from .mesh import (
 
 __all__ = [
     "fsdp_param_spec",
+    "global_batch",
+    "initialize_multihost",
+    "is_primary",
+    "make_hybrid_mesh",
     "make_mesh",
     "param_spec",
+    "pipeline_apply",
     "replicate",
     "shard_batch",
     "shard_params",
+    "stack_stage_params",
     "ring_attention",
 ]

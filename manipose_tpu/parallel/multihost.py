@@ -1,0 +1,112 @@
+"""Multi-host (multi-process) execution utilities.
+
+The reference is strictly single-process (SURVEY §2.8: no
+``torch.distributed`` anywhere; multi-GPU = in-process
+``nn.DataParallel``). Scaling this framework past one TPU host needs
+three pieces, all thin wrappers over JAX's native multi-controller
+runtime:
+
+1. ``initialize()`` — bring up the JAX distributed service across the
+   pod's processes (coordinator discovery from the standard env vars on
+   TPU pods; explicit args elsewhere). After this, ``jax.devices()`` is
+   GLOBAL and every jit is a pod-wide SPMD program.
+2. ``make_hybrid_mesh()`` — a mesh whose outer axis spans hosts (DCN)
+   and inner axes stay intra-host (ICI), so the data-parallel gradient
+   reduce-scatter rides DCN once per step while TP/FSDP collectives stay
+   on ICI (the layout the scaling playbook prescribes).
+3. ``global_batch()`` — assemble a pod-global batch from each host's
+   process-local shard without any host ever materializing the full
+   array (``jax.make_array_from_process_local_data``).
+
+Every function degrades to a no-op / plain single-host behavior when
+``jax.process_count() == 1``, which is also how the test suite exercises
+this module.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize the JAX distributed runtime if this looks like a
+    multi-process launch; return whether it was initialized.
+
+    On TPU pods, ``jax.distributed.initialize()`` auto-discovers the
+    coordinator from the TPU metadata; elsewhere the three args (or the
+    ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID`` env vars) must be given. Single-process runs
+    (no args, no env) are a no-op.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    num_processes = num_processes if num_processes is not None else (
+        int(env_np) if env_np else None
+    )
+    env_pid = os.environ.get("JAX_PROCESS_ID")
+    process_id = process_id if process_id is not None else (
+        int(env_pid) if env_pid else None
+    )
+    if coordinator_address is None and num_processes is None:
+        return False  # single-process run
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def make_hybrid_mesh(data: int, model: int = 1) -> Mesh:
+    """dp x tp mesh laid out so `data` crosses hosts over DCN and
+    `model` stays within a host on ICI.
+
+    Single-process: falls back to the plain ICI mesh (identical axis
+    names, so calling code is host-count agnostic).
+    """
+    if jax.process_count() == 1:
+        from .mesh import make_mesh
+
+        return make_mesh(data=data, model=model)
+    per_host = max(1, data // jax.process_count())
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(per_host, model),
+        dcn_mesh_shape=(jax.process_count(), 1),
+    )
+    return Mesh(devices.reshape(data, model), axis_names=("data", "model"))
+
+
+def global_batch(local_arrays: Sequence[np.ndarray], mesh: Mesh):
+    """Assemble pod-global batch-sharded arrays from per-process local
+    shards (each host feeds only its slice of the global batch).
+
+    The global batch size is ``local_batch * process_count``. Returns
+    jax.Arrays sharded ``P("data")`` over the mesh.
+    """
+    out = []
+    for a in local_arrays:
+        a = np.asarray(a)
+        sharding = NamedSharding(
+            mesh, P("data", *([None] * (a.ndim - 1)))
+        )
+        out.append(
+            jax.make_array_from_process_local_data(sharding, a)
+        )
+    return tuple(out)
+
+
+def is_primary() -> bool:
+    """True on the process that should write checkpoints/logs."""
+    return jax.process_index() == 0

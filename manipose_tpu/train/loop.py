@@ -77,6 +77,37 @@ def train(
         )
     else:
         tx = make_optimizer(weight_decay=1e-6)
+
+    # optional multi-chip training: cfg.parallel = {data, model, mode}.
+    # The reference's analogue is nn.DataParallel when >1 GPU
+    # (``main_h36m_lifting.py:747-753``); here params are laid out on a
+    # dp x tp mesh (mode="fsdp" additionally ZeRO-3-shards them over the
+    # data axis) and per-batch placement shards the batch dimension —
+    # XLA inserts every collective.
+    mesh = None
+    pcfg = cfg.get("parallel") or {}
+    if int(pcfg.get("data", 1)) * int(pcfg.get("model", 1)) > 1:
+        from ..parallel import make_mesh, shard_batch, shard_params
+
+        mesh = make_mesh(
+            data=int(pcfg.get("data", 1)), model=int(pcfg.get("model", 1))
+        )
+        assert cfg_train.batch_size % mesh.shape["data"] == 0, (
+            f"batch_size {cfg_train.batch_size} must divide over the "
+            f"data mesh axis ({mesh.shape['data']})"
+        )
+        params = shard_params(params, mesh, mode=pcfg.get("mode", "tp"))
+        print(f"==> Training on mesh {dict(mesh.shape)}, "
+              f"mode={pcfg.get('mode', 'tp')}")
+
+    def _place(*arrays):
+        arrays = tuple(jax.numpy.asarray(a) for a in arrays)
+        if mesh is not None:
+            from ..parallel import shard_batch
+
+            arrays = shard_batch(arrays, mesh)
+        return arrays
+
     state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.run.seed))
     scheduler = make_scheduler(
         cfg_train.lr_scheduler,
@@ -145,12 +176,20 @@ def train(
             for batch in prefetch(train_loader):
                 n_valid = int(batch.valid.sum())
                 meter.step(n_valid)
+                x2d, x3d = _place(batch.pose_2d, batch.pose_3d)
+                # under a mesh, keep the full (padded) batch so the
+                # per-device shard shapes stay static: the final partial
+                # batch's replicate-padding rows (duplicates of real
+                # windows) then contribute to the loss once per epoch —
+                # a mild reweighting the single-device n_valid slicing
+                # avoids
+                n_valid_arg = (
+                    n_valid
+                    if mesh is None and n_valid < batch.batch_size
+                    else None
+                )
                 state, metrics = train_step(
-                    state,
-                    jax.numpy.asarray(batch.pose_2d),
-                    jax.numpy.asarray(batch.pose_3d),
-                    scheduler.lr,
-                    n_valid if n_valid < batch.batch_size else None,
+                    state, x2d, x3d, scheduler.lr, n_valid_arg
                 )
                 for k, v in metrics.items():
                     term_sums.setdefault(k, []).append(v)
@@ -171,10 +210,11 @@ def train(
             if (epoch + 1) % cfg_train.valid_epoch_interval == 0:
                 val_losses = []
                 for batch in valid_loader:
+                    vx2d, vx3d = _place(batch.pose_2d, batch.pose_3d)
                     m = val_step(
                         state.params,
-                        jax.numpy.asarray(batch.pose_2d),
-                        jax.numpy.asarray(batch.pose_3d),
+                        vx2d,
+                        vx3d,
                         int(batch.valid.sum()),
                     )
                     val_losses.append(float(m["loss"]))

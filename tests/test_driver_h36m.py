@@ -186,6 +186,26 @@ class TestH36MDriver:
         assert len(losses) == 1
 
 
+def test_debug_run_on_mesh(synthetic_h36m, tmp_path):
+    """End-to-end driver run with cfg.parallel enabled: trains on a
+    4x2 dp x tp mesh (virtual CPU devices) through the exact same code
+    path a pod slice would use."""
+    cfg = _cfg(
+        synthetic_h36m,
+        tmp_path / "out_mesh",
+        extra=(
+            "parallel.data=4",
+            "parallel.model=2",
+            "parallel.mode=fsdp",
+        ),
+    )
+    from manipose_tpu.drivers.h36m import main
+
+    result = main(cfg)
+    assert result is not None and np.isfinite(result)
+    assert (tmp_path / "out_mesh" / "default" / "protocol_1_err.csv").exists()
+
+
 def test_debug_run_with_mup(synthetic_h36m, tmp_path):
     """End-to-end driver run with muP enabled (MuAdam-semantics optimizer
     incl. the width-seq temporal-pos-embed rule) — must train and eval."""
