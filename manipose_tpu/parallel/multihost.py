@@ -38,16 +38,24 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    auto: bool = False,
 ) -> bool:
     """Initialize the JAX distributed runtime if this looks like a
     multi-process launch; return whether it was initialized.
 
-    On TPU pods, ``jax.distributed.initialize()`` auto-discovers the
-    coordinator from the TPU metadata; elsewhere the three args (or the
-    ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
-    ``JAX_PROCESS_ID`` env vars) must be given. Single-process runs
-    (no args, no env) are a no-op.
+    Three launch modes:
+    - ``auto=True`` (or env ``MANIPOSE_MULTIHOST=1``): argless
+      ``jax.distributed.initialize()`` — JAX auto-discovers the
+      coordinator from the cluster environment (TPU pod metadata,
+      SLURM, ...). Use this on real pods.
+    - explicit: all three of coordinator_address / num_processes /
+      process_id, via args or the ``JAX_COORDINATOR_ADDRESS`` /
+      ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` env vars. A partial
+      specification is an error (argless auto-discovery won't engage
+      and Nones would crash deep inside jax.distributed).
+    - neither: single-process run, no-op.
     """
+    auto = auto or os.environ.get("MANIPOSE_MULTIHOST", "") == "1"
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
@@ -59,8 +67,25 @@ def initialize(
     process_id = process_id if process_id is not None else (
         int(env_pid) if env_pid else None
     )
-    if coordinator_address is None and num_processes is None:
+    if auto:
+        jax.distributed.initialize()
+        return True
+    given = (coordinator_address, num_processes, process_id)
+    if all(v is None for v in given):
         return False  # single-process run
+    if any(v is None for v in given):
+        missing = [
+            name for name, v in zip(
+                ("coordinator_address", "num_processes", "process_id"),
+                given,
+            ) if v is None
+        ]
+        raise ValueError(
+            "multi-host launch is partially specified: missing "
+            f"{missing}. Provide all three (args or JAX_* env vars), or "
+            "use auto=True / MANIPOSE_MULTIHOST=1 for cluster "
+            "auto-discovery on TPU pods/SLURM."
+        )
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -80,10 +105,20 @@ def make_hybrid_mesh(data: int, model: int = 1) -> Mesh:
         from .mesh import make_mesh
 
         return make_mesh(data=data, model=model)
-    per_host = max(1, data // jax.process_count())
+    n_proc = jax.process_count()
+    assert data % n_proc == 0 and data >= n_proc, (
+        f"data axis ({data}) must be a positive multiple of the process "
+        f"count ({n_proc}) so each host contributes equal batch shards"
+    )
+    per_host = data // n_proc
+    per_host_devices = jax.local_device_count()
+    assert per_host * model == per_host_devices, (
+        f"per-host mesh {per_host}x{model} must use exactly the "
+        f"{per_host_devices} local devices of each host"
+    )
     devices = mesh_utils.create_hybrid_device_mesh(
         mesh_shape=(per_host, model),
-        dcn_mesh_shape=(jax.process_count(), 1),
+        dcn_mesh_shape=(n_proc, 1),
     )
     return Mesh(devices.reshape(data, model), axis_names=("data", "model"))
 

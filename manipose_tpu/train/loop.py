@@ -85,6 +85,7 @@ def train(
     # data axis) and per-batch placement shards the batch dimension —
     # XLA inserts every collective.
     mesh = None
+    shard_batch = None
     pcfg = cfg.get("parallel") or {}
     if int(pcfg.get("data", 1)) * int(pcfg.get("model", 1)) > 1:
         from ..parallel import make_mesh, shard_batch, shard_params
@@ -92,21 +93,27 @@ def train(
         mesh = make_mesh(
             data=int(pcfg.get("data", 1)), model=int(pcfg.get("model", 1))
         )
-        assert cfg_train.batch_size % mesh.shape["data"] == 0, (
-            f"batch_size {cfg_train.batch_size} must divide over the "
-            f"data mesh axis ({mesh.shape['data']})"
-        )
+        # every batch that reaches _place (train AND validation/eval)
+        # must split evenly over the data axis
+        for name, bs in (
+            ("train.batch_size", cfg_train.batch_size),
+            ("train.batch_size_test", cfg_train.get("batch_size_test",
+                                                    cfg_train.batch_size)),
+        ):
+            assert bs % mesh.shape["data"] == 0, (
+                f"{name}={bs} must divide over the data mesh axis "
+                f"({mesh.shape['data']})"
+            )
         params = shard_params(params, mesh, mode=pcfg.get("mode", "tp"))
         print(f"==> Training on mesh {dict(mesh.shape)}, "
               f"mode={pcfg.get('mode', 'tp')}")
 
     def _place(*arrays):
-        arrays = tuple(jax.numpy.asarray(a) for a in arrays)
         if mesh is not None:
-            from ..parallel import shard_batch
-
-            arrays = shard_batch(arrays, mesh)
-        return arrays
+            # device_put shards host numpy straight to the P('data')
+            # layout — one transfer, no default-device staging hop
+            return shard_batch(arrays, mesh)
+        return tuple(jax.numpy.asarray(a) for a in arrays)
 
     state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.run.seed))
     scheduler = make_scheduler(

@@ -26,6 +26,30 @@ class TestInitialize:
     def test_primary_on_single_process(self):
         assert is_primary() is True
 
+    def test_partial_spec_raises(self, monkeypatch):
+        for var in ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+            monkeypatch.delenv(var, raising=False)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "host:1234")
+        import pytest
+
+        with pytest.raises(ValueError, match="partially specified"):
+            initialize_multihost()
+
+    def test_auto_mode_calls_argless_initialize(self, monkeypatch):
+        import jax
+
+        calls = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize",
+            lambda *a, **k: calls.append((a, k)),
+        )
+        assert initialize_multihost(auto=True) is True
+        assert calls == [((), {})]
+        calls.clear()
+        monkeypatch.setenv("MANIPOSE_MULTIHOST", "1")
+        assert initialize_multihost() is True
+        assert calls == [((), {})]
+
 
 class TestHybridMesh:
     def test_single_process_falls_back_to_ici_mesh(self):
