@@ -34,6 +34,7 @@ def instantiate_model(cfg: Config, skeleton: Skeleton, quant: bool = False):
     m = cfg.model
     dtype = _DTYPES[m.get("dtype", "float32")]
     attn_impl = m.get("attn_impl", "xla")
+    mlp_impl = m.get("mlp_impl", "xla")
     if m.arch == "mixste":
         model = MixSTE(
             MixSTEConfig(
@@ -48,6 +49,7 @@ def instantiate_model(cfg: Config, skeleton: Skeleton, quant: bool = False):
                 mup=m.mup,
                 dtype=dtype,
                 attn_impl=attn_impl,
+                mlp_impl=mlp_impl,
                 quant=quant,
             )
         )
@@ -69,6 +71,7 @@ def instantiate_model(cfg: Config, skeleton: Skeleton, quant: bool = False):
         mup=m.mup,
         dtype=dtype,
         attn_impl=attn_impl,
+        mlp_impl=mlp_impl,
         quant=quant,
     )
     if m.arch == "manifold":

@@ -46,6 +46,7 @@ class ManifoldConfig:
     mup_base_width: int = 64
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    mlp_impl: str = "xla"
     remat: bool = False
     quant: bool = False
 
@@ -68,6 +69,7 @@ class ManifoldConfig:
             mup_base_width=self.mup_base_width,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            mlp_impl=self.mlp_impl,
             remat=self.remat,
             quant=self.quant,
         )
@@ -93,6 +95,7 @@ class ManifoldConfig:
             mup_base_width=self.mup_base_width,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            mlp_impl=self.mlp_impl,
             remat=self.remat,
             quant=self.quant,
         )

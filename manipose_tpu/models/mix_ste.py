@@ -55,6 +55,9 @@ class MixSTEConfig:
     # TPU policy knobs (no reference counterpart)
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    # "pallas": fuse fc1+GELU+fc2 in VMEM (ops/pallas_mlp.py) — wins at
+    # the flagship shapes on TPU; "xla" elsewhere (tests, tiny models)
+    mlp_impl: str = "xla"
     # rematerialize blocks in the backward pass (trade FLOPs for HBM;
     # enables much larger batches at 243 frames)
     remat: bool = False
@@ -73,22 +76,79 @@ class MixSTEConfig:
         return (self.embed_dim / self.mup_base_width) if self.mup else 1.0
 
 
+class _DenseParams(nn.Module):
+    """The parameters of one ``nn.Dense`` (identical names and init),
+    returned raw so the fused Pallas MLP kernel can consume them while
+    checkpoints stay layout-compatible with the nn.Dense path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class Mlp(nn.Module):
-    """Dense -> GELU(exact) -> drop -> Dense -> drop (``mix_ste.py:194-222``)."""
+    """Dense -> GELU(exact) -> drop -> Dense -> drop (``mix_ste.py:194-222``).
+
+    ``impl="pallas"`` fuses fc1+GELU+fc2 into one VMEM pass
+    (``ops/pallas_mlp.py``) when the interior dropout is inactive and the
+    folded row count tiles; measured faster than XLA's two GEMMs at the
+    flagship shape (the (rows, hidden) intermediate skips its HBM
+    round-trip). Both paths share identical parameters.
+    """
 
     hidden_features: int
     out_features: int
     drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
     quant: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        dense = _dense_cls(self.quant)
-        x = dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        if self.quant:
+            dense = _dense_cls(True)
+            x = dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+            x = jax.nn.gelu(x, approximate=False)
+            x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+            x = dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+            x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+            return x
+
+        c_in = x.shape[-1]
+        w1, b1 = _DenseParams(self.hidden_features, name="fc1")(c_in)
+        w2, b2 = _DenseParams(self.out_features, name="fc2")(
+            self.hidden_features
+        )
+        dt = self.dtype
+        rows = int(np.prod(x.shape[:-1]))
+
+        if self.impl == "pallas" and (deterministic or self.drop == 0.0):
+            from ..ops.pallas_mlp import fused_mlp, supported
+
+            if supported(rows):
+                y = fused_mlp(
+                    x.reshape(rows, c_in).astype(dt),
+                    w1.astype(dt),
+                    b1.astype(dt),
+                    w2.astype(dt),
+                    b2.astype(dt),
+                )
+                return y.reshape(*x.shape[:-1], self.out_features)
+
+        # nn.Dense-equivalent math (inputs/params promoted to the compute
+        # dtype, bias added post-cast)
+        x = x.astype(dt) @ w1.astype(dt) + b1.astype(dt)
         x = jax.nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
-        x = dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+        x = x @ w2.astype(dt) + b2.astype(dt)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         return x
 
@@ -186,6 +246,7 @@ class Block(nn.Module):
     mup: bool = False
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    mlp_impl: str = "xla"
     quant: bool = False
 
     @nn.compact
@@ -213,6 +274,7 @@ class Block(nn.Module):
             out_features=self.dim,
             drop=self.drop,
             dtype=self.dtype,
+            impl=self.mlp_impl,
             quant=self.quant,
             name="mlp",
         )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x),
@@ -275,6 +337,7 @@ class MixSTE(nn.Module):
             residual_scale=residual_scale,
             mup=cfg.mup,
             dtype=cfg.dtype,
+            mlp_impl=cfg.mlp_impl,
             quant=cfg.quant,
         )
         # static_argnums=(2,): `deterministic` stays a python bool under

@@ -1,0 +1,157 @@
+"""Fused Pallas MLP (fc1+GELU+fc2 in VMEM): numerical parity with the
+XLA two-GEMM path for forward and all five gradients, tile selection,
+and model-level equivalence through MixSTE."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from manipose_tpu.ops.pallas_mlp import fused_mlp, pick_tile, supported
+
+M, C, H = 816, 64, 128
+
+
+def _data(dtype=jnp.float32):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32) * 0.5, dtype)
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.1, dtype)
+    b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.05, dtype)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1, dtype)
+    b2 = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.05, dtype)
+    return x, w1, b1, w2, b2
+
+
+def _xla_mlp(x, w1, b1, w2, b2):
+    h = jax.nn.gelu(x @ w1 + b1, approximate=False)
+    return h @ w2 + b2
+
+
+class TestTileSelection:
+    def test_pick_tile(self):
+        assert pick_tile(66096, 1024) == 816
+        assert pick_tile(66096, 512) == 432
+        assert pick_tile(816, 1024) == 816
+        assert pick_tile(306, 1024) == 0  # no mult-of-8 divisor >= 128
+        assert pick_tile(128, 1024) == 128
+
+    def test_supported(self):
+        assert supported(66096) and supported(816)
+        assert not supported(306) and not supported(40)
+
+
+class TestFusedMlpParity:
+    def test_forward_matches_xla(self):
+        x, w1, b1, w2, b2 = _data()
+        out = fused_mlp(x, w1, b1, w2, b2)
+        ref = _xla_mlp(x, w1, b1, w2, b2)
+        # erf approximation: max abs err 1.5e-7 on erf, amplified by the
+        # second GEMM's H-length reduction
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5)
+
+    def test_gradients_match_xla(self):
+        x, w1, b1, w2, b2 = _data()
+        cot = jnp.asarray(
+            np.random.default_rng(1).normal(size=(M, C)).astype(np.float32)
+        )
+
+        def loss_fused(*args):
+            return jnp.sum(fused_mlp(*args) * cot)
+
+        def loss_xla(*args):
+            return jnp.sum(_xla_mlp(*args) * cot)
+
+        g1 = jax.grad(loss_fused, argnums=tuple(range(5)))(x, w1, b1, w2, b2)
+        g2 = jax.grad(loss_xla, argnums=tuple(range(5)))(x, w1, b1, w2, b2)
+        for a, b, name in zip(g1, g2, ("dx", "dw1", "db1", "dw2", "db2")):
+            scale = max(1.0, float(jnp.max(jnp.abs(b))))
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4 * scale,
+                err_msg=name,
+            )
+
+    def test_bf16_forward(self):
+        x, w1, b1, w2, b2 = _data(jnp.bfloat16)
+        out = fused_mlp(x, w1, b1, w2, b2)
+        ref = _xla_mlp(x, w1, b1, w2, b2)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=0.05,
+        )
+
+
+class TestModelLevel:
+    def _model(self, mlp_impl):
+        from manipose_tpu.models import MixSTE, MixSTEConfig
+
+        cfg = MixSTEConfig(
+            num_frame=16, num_joints=17, embed_dim=64, depth=2, num_heads=4,
+            drop_path_rate=0.0, mlp_impl=mlp_impl,
+        )
+        return MixSTE(cfg)
+
+    def test_mixste_pallas_mlp_matches_xla(self):
+        """B=3, L=16, J=17 -> both folded row counts (816, 768) tile."""
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(3, 16, 17, 2)).astype(np.float32))
+        m_xla = self._model("xla")
+        params = m_xla.init(jax.random.PRNGKey(0), x)
+        out_xla = m_xla.apply(params, x, deterministic=True)
+        out_pallas = self._model("pallas").apply(
+            params, x, deterministic=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_pallas), np.asarray(out_xla), atol=2e-4
+        )
+
+    def test_fallback_on_unsupported_rows(self):
+        """B=2, L=9: folded rows don't tile -> silently uses the XLA
+        path with identical params."""
+        from manipose_tpu.models import MixSTE, MixSTEConfig
+
+        cfg = MixSTEConfig(
+            num_frame=9, num_joints=17, embed_dim=64, depth=2, num_heads=4,
+            drop_path_rate=0.0, mlp_impl="pallas",
+        )
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 9, 17, 2)).astype(np.float32))
+        model = MixSTE(cfg)
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(params, x, deterministic=True)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_trains_through_fused_mlp(self):
+        """One SGD step through the pallas-MLP model decreases the loss
+        (exercises the fused backward inside a full trunk graph)."""
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(3, 16, 17, 2)).astype(np.float32))
+        y = jnp.asarray(
+            0.1 * rng.normal(size=(3, 16, 17, 3)).astype(np.float32)
+        )
+        model = self._model("pallas")
+        params = model.init(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            return jnp.mean(
+                (model.apply(p, x, deterministic=True) - y) ** 2
+            )
+
+        l0, g = jax.value_and_grad(loss)(params)
+        stepped = jax.tree_util.tree_map(lambda p, gg: p - 0.01 * gg,
+                                         params, g)
+        l1 = loss(stepped)
+        assert np.isfinite(float(l0)) and float(l1) < float(l0)
+
+    def test_param_tree_unchanged(self):
+        """The _DenseParams refactor must keep nn.Dense param names so
+        checkpoints stay compatible."""
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(2, 16, 17, 2)).astype(np.float32))
+        params = self._model("xla").init(jax.random.PRNGKey(0), x)
+        mlp = params["params"]["ste_block_0"]["mlp"]
+        assert set(mlp.keys()) == {"fc1", "fc2"}
+        assert set(mlp["fc1"].keys()) == {"kernel", "bias"}
+        assert mlp["fc1"]["kernel"].shape == (64, 128)
