@@ -48,9 +48,21 @@ def _wrap(x):
     return x
 
 
+_BARE_EXP_FLOAT = __import__("re").compile(
+    r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$"
+)
+
+
 def _parse_value(text: str) -> Any:
-    """YAML-parse a scalar override value ('5' -> int, 'true' -> bool...)."""
-    return yaml.safe_load(text)
+    """YAML-parse a scalar override value ('5' -> int, 'true' -> bool...).
+
+    YAML 1.1 leaves bare-exponent floats like '1e-3' as strings (it
+    requires '1.0e-3'); hydra/OmegaConf parse them as floats, and the
+    reference README uses that form — match it."""
+    value = yaml.safe_load(text)
+    if isinstance(value, str) and _BARE_EXP_FLOAT.match(value):
+        return float(value)
+    return value
 
 
 def _deep_update(base: dict, patch: dict) -> dict:
@@ -80,10 +92,15 @@ def load_config(
     """Load ``configs/<name>.yaml`` and apply overrides.
 
     Override forms:
-      - ``group=file``  (when ``configs/<group>/<file>.yaml`` exists):
-        merge that group file into the ``group`` section — hydra config
-        groups (``conf/train/mix_ste.yaml`` etc.)
+      - ``group=file``  (when ``configs/<name>/<group>/<file>.yaml`` or
+        ``configs/<group>/<file>.yaml`` exists; the config-specific dir
+        wins — the reference keeps separate hydra group trees per entry
+        point, ``hpe/conf`` vs ``toy_experiment/conf``): merge that
+        group file into the ``group`` section.
       - ``a.b.c=value``: set a single leaf.
+
+    A leading ``+`` on the key (hydra's append syntax, used by the
+    reference sweep scripts) is accepted and ignored.
     """
     root = Path(config_root) if config_root else CONFIG_ROOT
     with open(root / f"{name}.yaml") as f:
@@ -93,7 +110,10 @@ def load_config(
         if "=" not in item:
             raise ValueError(f"override must be key=value, got: {item}")
         key, value = item.split("=", 1)
-        group_file = root / key / f"{value}.yaml"
+        key = key.lstrip("+")
+        group_file = root / name / key / f"{value}.yaml"
+        if not group_file.exists():
+            group_file = root / key / f"{value}.yaml"
         if "." not in key and group_file.exists():
             with open(group_file) as f:
                 patch = yaml.safe_load(f) or {}
