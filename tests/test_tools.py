@@ -12,9 +12,12 @@ REPO = Path(__file__).resolve().parents[1]
 
 
 def _run(args, timeout=900):
+    import os
+
+    env = dict(os.environ, MANIPOSE_PLATFORM="cpu")
     out = subprocess.run(
         [sys.executable, *args], capture_output=True, text=True,
-        timeout=timeout, cwd=REPO,
+        timeout=timeout, cwd=REPO, env=env,
     )
     assert out.returncode == 0, out.stderr[-3000:]
     return out.stdout
@@ -46,6 +49,35 @@ def test_get_table_data_aggregates_seeds(tmp_path):
                    *(str(p) for p in sorted(tmp_path.iterdir()))])
     assert "manipose" in stdout
     assert "0.72" in stdout  # the mean over the three seeds
+
+
+def test_predict_cli_lifts_npz_video(tmp_path):
+    """tools/predict.py end-to-end on a small random-weights model:
+    windowing, static-batch padding, TTA, hypothesis dump, npz output."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    np.savez(
+        tmp_path / "kps.npz",
+        clip_a=rng.normal(size=(40, 17, 2)).astype(np.float32),
+        clip_b=rng.normal(size=(13, 17, 2)).astype(np.float32),
+    )
+    out = tmp_path / "poses.npz"
+    stdout = _run([
+        "tools/predict.py", "--input", str(tmp_path / "kps.npz"),
+        "--output", str(out), "--batch-size", "2", "--hypotheses",
+        "data.seq_len=9", "model.layers=2", "model.channels=32",
+        "model.nheads=4", "model.layers_seg=2", "model.channels_seg=16",
+        "model.nheads_seg=4", "multi_hyp.n_hyp=2",
+    ])
+    assert "lifted 2 video(s)" in stdout, stdout
+    result = np.load(out)
+    assert result["clip_a"].shape == (40, 17, 3)
+    assert result["clip_b"].shape == (13, 17, 3)
+    assert np.isfinite(result["clip_a"]).all()
+    # rMCL default arch -> hypotheses dumped per window (ceil(40/9)=5)
+    assert result["clip_a_hypotheses"].shape[0] == 5
+    assert result["clip_a_scores"].shape[1] == 2  # n_hyp
 
 
 @pytest.mark.slow
