@@ -26,20 +26,53 @@ except Exception:  # pragma: no cover
 
 
 # ---------------------------------------------------------------------------
-# Orbax save/restore
+# Orbax save/restore (async: training overlaps the checkpoint write)
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(directory, tag: str, state) -> None:
-    """Save a pytree (params or TrainState) under ``directory/tag``."""
+_CKPTR = None
+
+
+def _checkpointer():
+    global _CKPTR
+    if _CKPTR is None:
+        # StandardCheckpointer is an AsyncCheckpointer: save() returns
+        # once the pytree is staged and commits in a background thread
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def save_checkpoint(directory, tag: str, state, block: bool = False) -> None:
+    """Save a pytree (params or TrainState) under ``directory/tag``.
+
+    Asynchronous by default: the call returns after staging and the
+    write commits in the background while training continues (the
+    reference's ``torch.save`` blocks the train loop,
+    ``main_h36m_lifting.py:75-98``). Consecutive saves serialize against
+    each other; pass ``block=True`` (or call
+    :func:`wait_for_checkpoints`) to wait for the commit — the train
+    loop does so before returning.
+    """
     assert _HAS_ORBAX
     path = Path(directory).resolve() / tag
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state, force=True)
+    ckptr = _checkpointer()
+    # serialize against any in-flight save (same-tag overwrites and
+    # orbax's internal tmp-dir bookkeeping both require it)
+    ckptr.wait_until_finished()
+    ckptr.save(path, state, force=True)
+    if block:
+        ckptr.wait_until_finished()
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every async checkpoint write has committed."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def restore_checkpoint(directory, tag: str, target):
     """Restore a pytree saved by :func:`save_checkpoint`."""
     assert _HAS_ORBAX
+    wait_for_checkpoints()  # the tag may still be committing
     path = Path(directory).resolve() / tag
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path, target)

@@ -132,7 +132,10 @@ def train(
     if resume_from:
         resume_dir = Path(resume_from)
         state = restore_checkpoint(resume_dir, "train_state", state)
-        with open(resume_dir / "train_state" / "host_state.json") as f:
+        host_json = resume_dir / "train_state_host.json"
+        if not host_json.exists():  # checkpoints from older runs
+            host_json = resume_dir / "train_state" / "host_state.json"
+        with open(host_json) as f:
             host = json.load(f)
         scheduler.load_state_dict(host["scheduler"])
         start_epoch = host["epoch"]
@@ -161,14 +164,19 @@ def train(
     def _ckpt(current_state, tag, epoch=None):
         if not save_checkpoints:
             return
-        save_checkpoint(output_dir, tag, jax.device_get(current_state.params))
+        # async save: device arrays go straight to orbax, which stages
+        # and commits in the background while training continues (the
+        # train step never mutates these buffers — updates are
+        # functional and the step doesn't donate)
+        save_checkpoint(output_dir, tag, current_state.params)
         if epoch is not None:
             # full train state for resume (reference params{tag}.pth:
             # optimizer + scheduler + epoch, ``main_h36m_lifting.py:89-95``)
-            save_checkpoint(
-                output_dir, "train_state", jax.device_get(current_state)
-            )
-            with open(output_dir / "train_state" / "host_state.json", "w") as f:
+            save_checkpoint(output_dir, "train_state", current_state)
+            # host-side state lives NEXT TO the orbax dir: the async
+            # commit renames a tmp dir over train_state/, so anything
+            # written inside it would be clobbered
+            with open(output_dir / "train_state_host.json", "w") as f:
                 json.dump(
                     {"scheduler": scheduler.state_dict(), "epoch": epoch}, f
                 )
@@ -281,6 +289,10 @@ def train(
 
 
     _ckpt(state, "end", epoch=cfg_train.epochs)
+    if save_checkpoints:
+        from .checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()  # all async writes committed before return
     np.save(output_dir / "train_loss.npy", np.asarray(train_loss_hist))
     np.save(output_dir / "valid_loss.npy", np.asarray(valid_loss_hist))
     # reload best weights (``:507``)

@@ -168,7 +168,7 @@ class TestH36MDriver:
         cfg = _cfg(synthetic_h36m, tmp_path, extra=["run.test=false"])
         main(cfg)  # 1 epoch (train=debug), writes train_state
         state_dir = tmp_path / "default"
-        assert (state_dir / "train_state" / "host_state.json").exists()
+        assert (state_dir / "train_state_host.json").exists()
 
         cfg2 = _cfg(
             synthetic_h36m,
