@@ -11,6 +11,7 @@ the reference's config groups.
 from __future__ import annotations
 
 import copy
+import re
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -48,9 +49,7 @@ def _wrap(x):
     return x
 
 
-_BARE_EXP_FLOAT = __import__("re").compile(
-    r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$"
-)
+_BARE_EXP_FLOAT = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
 
 
 def _parse_value(text: str) -> Any:

@@ -36,9 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _needs_interpret() -> bool:
-    return jax.default_backend() not in ("tpu", "axon")
+from .common import needs_interpret as _needs_interpret
 
 
 # ---------------------------------------------------------------------------

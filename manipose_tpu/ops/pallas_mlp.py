@@ -32,12 +32,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import needs_interpret as _needs_interpret
+
 _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT2PI = 0.3989422804014327
-
-
-def _needs_interpret() -> bool:
-    return jax.default_backend() not in ("tpu", "axon")
 
 
 def _erf(x):
@@ -74,7 +72,9 @@ def pick_tile(m: int, target: int) -> int:
 
 
 def supported(m: int) -> bool:
-    return pick_tile(m, 1024) >= 128
+    # both kernels must tile: forward targets <=1024 rows, backward <=512
+    # (its VMEM residency is ~2x — recomputed intermediate + grads)
+    return pick_tile(m, 1024) >= 128 and pick_tile(m, 512) >= 128
 
 
 # ---------------------------------------------------------------------------

@@ -172,7 +172,12 @@ def train(
         if epoch is not None:
             # full train state for resume (reference params{tag}.pth:
             # optimizer + scheduler + epoch, ``main_h36m_lifting.py:89-95``)
-            save_checkpoint(output_dir, "train_state", current_state)
+            # block=True: the host json below must never be newer than
+            # the orbax train_state it describes (a crash between an
+            # async commit and the json write would desync resume)
+            save_checkpoint(
+                output_dir, "train_state", current_state, block=True
+            )
             # host-side state lives NEXT TO the orbax dir: the async
             # commit renames a tmp dir over train_state/, so anything
             # written inside it would be clobbered

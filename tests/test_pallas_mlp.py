@@ -39,6 +39,10 @@ class TestTileSelection:
     def test_supported(self):
         assert supported(66096) and supported(816)
         assert not supported(306) and not supported(40)
+        # forward tiles (536 = 8*67 <= 1024) but backward (target 512)
+        # cannot: must be rejected up front, not crash in jax.grad
+        assert pick_tile(536, 1024) == 536 and pick_tile(536, 512) == 0
+        assert not supported(536)
 
 
 class TestFusedMlpParity:
@@ -84,12 +88,15 @@ class TestFusedMlpParity:
 
 
 class TestModelLevel:
-    def _model(self, mlp_impl):
+    def _model(self, mlp_impl, **kw):
         from manipose_tpu.models import MixSTE, MixSTEConfig
 
+        # bf16: the model only takes the fused path under bf16 compute
+        # (the in-kernel erf approximation vanishes under bf16 rounding
+        # but would break fp32 reference parity)
         cfg = MixSTEConfig(
             num_frame=16, num_joints=17, embed_dim=64, depth=2, num_heads=4,
-            drop_path_rate=0.0, mlp_impl=mlp_impl,
+            drop_path_rate=0.0, mlp_impl=mlp_impl, dtype=jnp.bfloat16, **kw
         )
         return MixSTE(cfg)
 
@@ -104,8 +111,30 @@ class TestModelLevel:
             params, x, deterministic=True
         )
         np.testing.assert_allclose(
-            np.asarray(out_pallas), np.asarray(out_xla), atol=2e-4
+            np.asarray(out_pallas, np.float32),
+            np.asarray(out_xla, np.float32),
+            atol=0.05,  # bf16 activations
         )
+
+    def test_fp32_model_stays_on_exact_xla_path(self):
+        """With fp32 compute, mlp_impl=pallas must NOT engage the fused
+        kernel (erf approximation would break fp32 parity): outputs are
+        bit-identical to the xla path."""
+        from manipose_tpu.models import MixSTE, MixSTEConfig
+
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.normal(size=(3, 16, 17, 2)).astype(np.float32))
+        outs = []
+        for impl in ("xla", "pallas"):
+            cfg = MixSTEConfig(
+                num_frame=16, num_joints=17, embed_dim=64, depth=2,
+                num_heads=4, drop_path_rate=0.0, mlp_impl=impl,
+            )
+            model = MixSTE(cfg)
+            params = model.init(jax.random.PRNGKey(0), x)
+            outs.append(np.asarray(model.apply(params, x,
+                                               deterministic=True)))
+        np.testing.assert_array_equal(outs[0], outs[1])
 
     def test_fallback_on_unsupported_rows(self):
         """B=2, L=9: folded rows don't tile -> silently uses the XLA
@@ -114,14 +143,14 @@ class TestModelLevel:
 
         cfg = MixSTEConfig(
             num_frame=9, num_joints=17, embed_dim=64, depth=2, num_heads=4,
-            drop_path_rate=0.0, mlp_impl="pallas",
+            drop_path_rate=0.0, mlp_impl="pallas", dtype=jnp.bfloat16,
         )
         rng = np.random.default_rng(3)
         x = jnp.asarray(rng.normal(size=(2, 9, 17, 2)).astype(np.float32))
         model = MixSTE(cfg)
         params = model.init(jax.random.PRNGKey(0), x)
         out = model.apply(params, x, deterministic=True)
-        assert np.isfinite(np.asarray(out)).all()
+        assert np.isfinite(np.asarray(out, np.float32)).all()
 
     def test_trains_through_fused_mlp(self):
         """One SGD step through the pallas-MLP model decreases the loss

@@ -22,12 +22,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import os
 
+import jax
+
 if os.environ.get("MANIPOSE_PLATFORM"):
     # the ambient sitecustomize merges JAX_PLATFORMS, so an explicit
     # config update is the only reliable backend switch (CLAUDE.md)
-    import jax
-
     jax.config.update("jax_platforms", os.environ["MANIPOSE_PLATFORM"])
+# remote TPU compiles take minutes per graph; cache across invocations
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-tpu-cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 
@@ -78,6 +84,12 @@ def main(argv=None):
               "(smoke-test mode)")
         predictor = Predictor(**kw)
 
+    if args.hypotheses and not predictor.rmcl:
+        print(
+            "WARNING: --hypotheses requested but the model is not an "
+            "rMCL multi-hypothesis architecture; no *_hypotheses/"
+            "*_scores arrays will be written"
+        )
     videos = load_videos(args.input)
     out = {}
     t0 = time.perf_counter()
