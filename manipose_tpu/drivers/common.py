@@ -86,7 +86,14 @@ def instantiate_model(cfg: Config, skeleton: Skeleton, quant: bool = False):
 
 def init_model_params(model, cfg: Config, num_joints: int):
     x = jnp.zeros((1, cfg.data.seq_len, num_joints, 2), jnp.float32)
-    return model.init(jax.random.PRNGKey(cfg.run.seed), x)
+    params = model.init(jax.random.PRNGKey(cfg.run.seed), x)
+    if cfg.model.get("init", "flax") == "torch":
+        # torch-default Linear init (matches the reference's fresh-
+        # training starting conditions; see train/init.py)
+        from ..train.init import torch_match_init
+
+        params = torch_match_init(params, cfg.run.seed)
+    return params
 
 
 def get_subjects_and_actions(dataset, cfg: Config):

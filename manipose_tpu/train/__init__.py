@@ -7,9 +7,11 @@ from .optim import (
     make_optimizer,
     make_scheduler,
 )
+from .init import torch_match_init
 from .step import TrainState, make_eval_loss_step, make_train_step
 
 __all__ = [
+    "torch_match_init",
     "LossConfig",
     "compute_loss",
     "CosineAnnealingLR",

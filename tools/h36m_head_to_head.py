@@ -1,0 +1,312 @@
+#!/usr/bin/env python
+"""Driver-level trained-model parity on the FLAGSHIP task: the
+reference's own H36M training loop (torch, imported read-only) vs this
+framework, on identical synthetic pose data.
+
+Real H36M data is unobtainable here (zero egress), so both sides train
+on the same FK-generated pose videos (``tools/synthetic_overfit.py``:
+smooth random rotations -> constant-bone-length FK -> pinhole 2D) —
+a learnable 2D->3D lifting task with the exact data geometry of the real
+one. Each side uses its OWN full training stack end to end: the
+reference's ``main_h36m_lifting.train`` + ``PoseSequenceGenerator`` +
+``eval_utils.evaluate`` (``/root/reference/hpe``), vs our
+``train.loop.train`` + ``PoseSequenceDataset`` + ``eval.engine``.
+Outcomes (best validation MPJPE, oracle MPJPE, MPSCE/MPSSE of the best
+model) are compared across seeds. Complements the toy head-to-head
+(``tools/toy_head_to_head.py``) at the main task's driver level.
+
+Protocol (shared): rMCL ManifoldMixSTE d=64/depth=2, seg 16/2, K=3,
+L=27 frames, Adam lr 1e-3 wd 1e-6, plateau scheduler, WTA+BCE+velocity+
+smoothness loss (the flagship composite), no flip aug / no occlusions
+(their RNG streams cannot be bit-matched across frameworks and are
+parity-tested separately), TTA off.
+
+  python tools/h36m_head_to_head.py [--seeds 0 1 2] [--epochs 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import types
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+sys.path.insert(0, str(REPO / "tools"))
+os.environ.setdefault("MPLBACKEND", "Agg")
+
+import numpy as np
+
+# conftest import side effect: CPU backend (the reference is CPU torch;
+# identical backends keep the comparison fair) + reference loaders
+import conftest  # noqa: E402
+from conftest import install_reference_stubs, load_ref_module  # noqa: E402
+
+L, J, K = 27, 17, 3
+MODEL_KW = dict(
+    embed_dim_rot=64, depth_rot=2, num_heads_rot=4,
+    embed_dim_seg=16, depth_seg=2, num_heads_seg=4,
+    # align explicitly: the reference constructor defaults to 0.2 while
+    # both configs ship 0.1 (hpe/conf/config.yaml:51)
+    drop_path_rate=0.1,
+)
+
+
+def make_split(seed: int):
+    from synthetic_overfit import make_videos
+
+    from manipose_tpu.geometry import h36m_skeleton_17
+
+    skel = h36m_skeleton_17()
+    videos_3d, videos_2d = make_videos(
+        n_videos=8, n_frames=8 * L, skel=skel, seed=1000 + seed
+    )
+    return (videos_3d[:6], videos_2d[:6]), (videos_3d[6:], videos_2d[6:])
+
+
+# ---------------------------------------------------------------------------
+# reference side
+# ---------------------------------------------------------------------------
+def run_reference(seed: int, train_split, val_split, epochs: int):
+    import torch
+    from torch.utils.data import DataLoader
+
+    install_reference_stubs()
+    ref_rmcl_mod = load_ref_module(
+        "mh_so3_hpe.architectures.rmcl_manifold_mix_ste"
+    )
+    if "omegaconf" not in sys.modules:
+        om = types.ModuleType("omegaconf")
+        om.DictConfig = dict
+        sys.modules["omegaconf"] = om
+    sys.modules["omegaconf"].ListConfig = list
+    if not hasattr(sys.modules["omegaconf"], "OmegaConf"):
+        sys.modules["omegaconf"].OmegaConf = types.SimpleNamespace(
+            to_yaml=lambda c: str(c)
+        )
+    arch = sys.modules["mh_so3_hpe.architectures"]
+    arch.RMCLManifoldMixSTE = ref_rmcl_mod.RMCLManifoldMixSTE
+    arch.ManifoldMixSTE = load_ref_module(
+        "mh_so3_hpe.architectures.manifold_mix_ste"
+    ).ManifoldMixSTE
+    arch.MixSTE = load_ref_module("mh_so3_hpe.architectures.mix_ste").MixSTE
+    if "hydra" not in sys.modules:
+        hydra = types.ModuleType("hydra")
+        hydra.main = lambda **kw: (lambda f: f)
+        hydra.utils = types.ModuleType("hydra.utils")
+        hydra.utils.get_original_cwd = lambda: "."
+        sys.modules["hydra"] = hydra
+        sys.modules["hydra.utils"] = hydra.utils
+    mup = sys.modules["mup"]
+    mup.make_base_shapes = lambda *a, **k: None
+    mup.set_base_shapes = lambda m, *a, **k: m
+    mup_optim = types.ModuleType("mup.optim")
+    mup_optim.MuAdam = torch.optim.Adam
+    sys.modules["mup.optim"] = mup_optim
+    mup_init = types.ModuleType("mup.init")
+    mup_init.kaiming_uniform_ = torch.nn.init.kaiming_uniform_
+    sys.modules["mup.init"] = mup_init
+    mup.init = mup_init
+    if "mlflow" not in sys.modules:
+        sys.modules["mlflow"] = types.ModuleType("mlflow")
+    ref_main = load_ref_module("main_h36m_lifting")
+    ref_generators = load_ref_module("mh_so3_hpe.data.generators")
+    ref_reg = load_ref_module("mh_so3_hpe.metrics.regularizations")
+
+    from test_geometry import _reference_h36m_17
+
+    ref_skel = _reference_h36m_17()
+    torch.manual_seed(seed)
+    model = ref_rmcl_mod.RMCLManifoldMixSTE(
+        skeleton=ref_skel, num_frame=L, num_joints=J, num_bones=16,
+        n_hyp=K, **MODEL_KW,
+    )
+
+    def loader(split, train):
+        gen = ref_generators.PoseSequenceGenerator(
+            [p.copy() for p in split[0]],
+            [p.copy() for p in split[1]],
+            None,
+            seq_len=L,
+            random_start=train,
+            drop_last=False,
+            miss_type="no_miss",
+        )
+        g = torch.Generator()
+        g.manual_seed(seed)
+        return DataLoader(gen, batch_size=8, shuffle=train, generator=g)
+
+    cfg = types.SimpleNamespace(
+        run=types.SimpleNamespace(checkpoint_params=""),
+        model=types.SimpleNamespace(mup=False),
+        multi_hyp=types.SimpleNamespace(n_hyp=K, agg_strategy="average"),
+        train=types.SimpleNamespace(
+            epochs=epochs, lr=1e-3, lr_scheduler="plateau", lr_min=0.0,
+            n_annealing=1, lr_patience=3, lr_threshold=0.1,
+            valid_epoch_interval=1, mpjpe_epoch_interval=2, tta=False,
+            sq_loss=False, w_loss=True, vel_loss=2.0, smooth_reg=0.5,
+            rmcl_score_reg=0.1, rigid_seg_reg=0.0,
+            lat_sym_regularization=0.0,
+        ),
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        best_mpjpe, model = ref_main.train(
+            model, cfg, "cpu", loader(train_split, True),
+            loader(val_split, False), ref_skel, foldername=tmp,
+            mlflow_on=False,
+        )
+    model.eval()
+    ref_eval = load_ref_module("eval_utils")
+    preds, _, perf, oracle, _, _ = ref_eval.evaluate(
+        model=model, loader=loader(val_split, False), device="cpu",
+        config=cfg, skeleton=ref_skel, compute_oracle=True,
+    )
+    # reference metric layout: (B, 3, J, L) (``main_h36m_lifting.py:936-960``)
+    gen = torch.cat(preds, dim=0).permute(0, 3, 2, 1)  # mm
+    _, _, j, _ = gen.shape
+    mpsce = float(
+        ref_reg.segments_time_consistency(
+            gen.permute(1, 2, 0, 3).reshape(1, 3, j, -1),
+            ref_skel, mode="std",
+        )
+    )
+    mpsse = float(
+        ref_reg.sagittal_symmetry(gen, ref_skel, mode="average",
+                                  squared=False)
+    )
+    return {
+        "best_val_mpjpe": float(best_mpjpe),
+        "final_mpjpe": float(perf),
+        "mpsce": mpsce,
+        "mpsse": mpsse,
+    }
+
+
+# ---------------------------------------------------------------------------
+# our side
+# ---------------------------------------------------------------------------
+def run_ours(seed: int, train_split, val_split, epochs: int):
+    from manipose_tpu.config import load_config
+    from manipose_tpu.data import PoseSequenceDataset, SequenceLoader
+    from manipose_tpu.drivers.common import init_model_params, instantiate_model
+    from manipose_tpu.eval import EvalConfig, evaluate
+    from manipose_tpu.geometry import h36m_skeleton_17
+    from manipose_tpu.metrics import (
+        sagittal_symmetry,
+        segments_time_consistency,
+    )
+    from manipose_tpu.train.loop import train as train_loop
+
+    skel = h36m_skeleton_17()
+    cfg = load_config(
+        "config",
+        overrides=[
+            f"run.seed={seed}",
+            f"data.seq_len={L}",
+            "model.channels=64", "model.layers=2", "model.nheads=4",
+            "model.channels_seg=16", "model.layers_seg=2",
+            "model.nheads_seg=4", "model.drop_path_rate=0.1",
+            f"multi_hyp.n_hyp={K}",
+            f"train.epochs={epochs}", "train.lr=1e-3",
+            "train.lr_scheduler=plateau", "train.lr_patience=3",
+            "train.lr_threshold=0.1", "train.valid_epoch_interval=1",
+            "train.mpjpe_epoch_interval=2", "train.tta=false",
+            "train.batch_size=8", "train.batch_size_test=8",
+            "train.flip_aug=false",
+            "model.init=torch",
+        ],
+    )
+    model, rmcl = instantiate_model(cfg, skel)
+    params = init_model_params(model, cfg, skel.num_joints)
+
+    def loader(split, train):
+        ds = PoseSequenceDataset(
+            [p.copy() for p in split[0]],
+            [p.copy() for p in split[1]],
+            None,
+            seq_len=L,
+            random_start=train,
+            miss_type="no_miss",
+            skeleton=skel,
+            flip_probability=0.0,
+        )
+        return SequenceLoader(ds, batch_size=8, shuffle=train, seed=seed)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        result = train_loop(
+            model.apply, params, cfg, skel, loader(train_split, True),
+            loader(val_split, False), tmp, rmcl=rmcl,
+            save_checkpoints=False,
+        )
+    preds, _, perf, oracle, _, _ = evaluate(
+        model.apply, result.best_params, loader(val_split, False), skel,
+        EvalConfig(tta=False, rmcl=True, compute_oracle=True),
+    )
+    gen = np.concatenate(preds, axis=0)  # mm
+    n, l, j, _ = gen.shape
+    mpsce = float(
+        segments_time_consistency(
+            gen.reshape(1, n * l, j, 3), skel, mode="std"
+        )
+    )
+    mpsse = float(
+        sagittal_symmetry(gen, skel, mode="average", squared=False)
+    )
+    return {
+        "best_val_mpjpe": float(result.best_mpjpe),
+        "final_mpjpe": float(perf),
+        "mpsce": mpsce,
+        "mpsse": mpsse,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument(
+        "--json",
+        type=Path,
+        default=REPO / "tools" / "artifacts" / "h36m_head_to_head.json",
+    )
+    args = ap.parse_args()
+
+    results = {"reference": [], "ours": [], "protocol": {
+        "seeds": args.seeds, "epochs": args.epochs, "seq_len": L,
+        "n_hyp": K, "model": MODEL_KW,
+    }}
+    for seed in args.seeds:
+        train_split, val_split = make_split(seed)
+        print(f"=== seed {seed}: reference (torch) ===", flush=True)
+        ref = run_reference(seed, train_split, val_split, args.epochs)
+        print(f"  -> {ref}", flush=True)
+        print(f"=== seed {seed}: manipose_tpu ===", flush=True)
+        ours = run_ours(seed, train_split, val_split, args.epochs)
+        print(f"  -> {ours}", flush=True)
+        results["reference"].append(ref)
+        results["ours"].append(ours)
+
+    def stats(rows, key):
+        v = np.asarray([r[key] for r in rows])
+        return f"{v.mean():8.3f} ± {v.std():6.3f}"
+
+    print("\nmetric                reference             ours")
+    for key in ("best_val_mpjpe", "final_mpjpe", "mpsce", "mpsse"):
+        print(
+            f"{key:20s} {stats(results['reference'], key)}   "
+            f"{stats(results['ours'], key)}"
+        )
+    args.json.parent.mkdir(parents=True, exist_ok=True)
+    with open(args.json, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"\nwrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()
