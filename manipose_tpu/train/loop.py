@@ -158,10 +158,14 @@ def train(
     best_mpjpe = 1e10
     best_oracle = 1e10
     best_psoracle = 1e10
-    best_params = state.params
+    # None until a validation/eval epoch fires: if none ever does (e.g.
+    # epochs < valid_epoch_interval), fall back to the FINAL params —
+    # silently returning the initial weights would poison the test
+    # protocol downstream
+    best_params = None
     train_loss_hist, valid_loss_hist = [], []
 
-    def _ckpt(current_state, tag, epoch=None):
+    def _ckpt(current_state, tag):
         if not save_checkpoints:
             return
         # async save: device arrays go straight to orbax, which stages
@@ -169,22 +173,29 @@ def train(
         # train step never mutates these buffers — updates are
         # functional and the step doesn't donate)
         save_checkpoint(output_dir, tag, current_state.params)
-        if epoch is not None:
-            # full train state for resume (reference params{tag}.pth:
-            # optimizer + scheduler + epoch, ``main_h36m_lifting.py:89-95``)
-            # block=True: the host json below must never be newer than
-            # the orbax train_state it describes (a crash between an
-            # async commit and the json write would desync resume)
-            save_checkpoint(
-                output_dir, "train_state", current_state, block=True
+
+    def _save_resume_state(current_state, epoch):
+        """Full train state for resume (reference params{tag}.pth:
+        optimizer + scheduler + epoch, ``main_h36m_lifting.py:89-95``).
+        Call AFTER the epoch's scheduler step: ``epoch`` is the restart
+        point, so the saved scheduler must already include this epoch's
+        step (saving pre-step would permanently drop one step on
+        resume and desync the LR schedule)."""
+        if not save_checkpoints:
+            return
+        # block=True: the host json below must never be newer than
+        # the orbax train_state it describes (a crash between an
+        # async commit and the json write would desync resume)
+        save_checkpoint(
+            output_dir, "train_state", current_state, block=True
+        )
+        # host-side state lives NEXT TO the orbax dir: the async
+        # commit renames a tmp dir over train_state/, so anything
+        # written inside it would be clobbered
+        with open(output_dir / "train_state_host.json", "w") as f:
+            json.dump(
+                {"scheduler": scheduler.state_dict(), "epoch": epoch}, f
             )
-            # host-side state lives NEXT TO the orbax dir: the async
-            # commit renames a tmp dir over train_state/, so anything
-            # written inside it would be clobbered
-            with open(output_dir / "train_state_host.json", "w") as f:
-                json.dump(
-                    {"scheduler": scheduler.state_dict(), "epoch": epoch}, f
-                )
 
     with trace(cfg.run.get("profile_dir", "")):
         for epoch in range(start_epoch, cfg_train.epochs):
@@ -231,20 +242,26 @@ def train(
                 val_losses = []
                 for batch in valid_loader:
                     vx2d, vx3d = _place(batch.pose_2d, batch.pose_3d)
-                    m = val_step(
-                        state.params,
-                        vx2d,
-                        vx3d,
-                        int(batch.valid.sum()),
+                    # mirror the train path: under a mesh keep the full
+                    # padded batch (static shard shapes, one compiled
+                    # graph) instead of slicing to n_valid — an uneven
+                    # slice of a sharded batch forces resharding
+                    # collectives plus a per-size retrace
+                    n_valid_val = (
+                        batch.batch_size
+                        if mesh is not None
+                        else int(batch.valid.sum())
                     )
+                    m = val_step(state.params, vx2d, vx3d, n_valid_val)
                     val_losses.append(float(m["loss"]))
                 epoch_val = float(np.mean(val_losses)) if val_losses else np.inf
                 valid_loss_hist.append(epoch_val)
                 metrics_to_log["val_loss"] = epoch_val
 
-                if best_valid_loss > epoch_val:
+                improved = best_valid_loss > epoch_val
+                if improved:
                     best_valid_loss = epoch_val
-                    _ckpt(state, "best_val", epoch=epoch + 1)
+                    _ckpt(state, "best_val")
                     best_params = state.params
                     metrics_to_log.update(
                         {"best_epoch_loss": epoch, "best_val_loss": epoch_val}
@@ -252,6 +269,8 @@ def train(
                 # reference steps the scheduler only on validation epochs and
                 # feeds plateau the best loss (``:400-403``)
                 scheduler.step(best_valid_loss)
+                if improved:
+                    _save_resume_state(state, epoch + 1)
 
             # --- MPJPE eval ---
             if (epoch + 1) % cfg_train.mpjpe_epoch_interval == 0:
@@ -293,13 +312,21 @@ def train(
             logger.log(metrics_to_log, step=epoch)
 
 
-    _ckpt(state, "end", epoch=cfg_train.epochs)
+    _ckpt(state, "end")
+    _save_resume_state(state, cfg_train.epochs)
     if save_checkpoints:
         from .checkpoint import wait_for_checkpoints
 
         wait_for_checkpoints()  # all async writes committed before return
     np.save(output_dir / "train_loss.npy", np.asarray(train_loss_hist))
     np.save(output_dir / "valid_loss.npy", np.asarray(valid_loss_hist))
+    if best_params is None:
+        print(
+            "WARNING: no validation/eval epoch fired "
+            f"(epochs={cfg_train.epochs}, valid_epoch_interval="
+            f"{cfg_train.valid_epoch_interval}); returning FINAL params"
+        )
+        best_params = state.params
     # reload best weights (``:507``)
     state = state.replace(params=best_params)
     return TrainResult(

@@ -31,12 +31,16 @@ import jax
 import optax
 
 # Param paths whose LR scales as 1/width_mult (hidden matrix-like).
+# NOT listed: readout kernels (trunk head and the stacked MCL
+# `heads/pred_kernel` — shape (C_infinite, out_finite)): MuReadout
+# weights have ONE infinite dim so MuAdam keeps their full LR; their
+# width correction is the forward-pass input division instead
+# (mix_ste.py readout_div, rmcl.py:66-67).
 _MATRIX_LIKE = (
     r"attn/qkv/kernel$",
     r"attn/proj/kernel$",
     r"mlp/fc1/kernel$",
     r"mlp/fc2/kernel$",
-    r"heads/pred_kernel$",
     # seq-scaling axis: (L, C) tables have two infinite dims under the
     # reference's width-seq base shapes (main_h36m_lifting.py:683-691)
     r"temporal_pos_embed$",

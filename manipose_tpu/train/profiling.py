@@ -35,13 +35,20 @@ class ThroughputMeter:
 
     def reset(self):
         self._t0 = None
+        self._seen_first = False
         self._sequences = 0
         self._steps = 0
 
     def step(self, batch_size: int) -> None:
-        if self._t0 is None:
-            self._t0 = time.perf_counter()  # skip compile on first step
+        # step() is called BEFORE each train_step dispatch; the first
+        # dispatch traces + compiles (minutes on a remote TPU), so the
+        # clock starts at the SECOND call — after the compiling step has
+        # returned — and that first step is excluded from the window
+        if not self._seen_first:
+            self._seen_first = True
             return
+        if self._t0 is None:
+            self._t0 = time.perf_counter()
         self._sequences += batch_size
         self._steps += 1
 

@@ -186,6 +186,29 @@ class TestH36MDriver:
         assert len(losses) == 1
 
 
+def test_no_validation_epoch_returns_final_params(synthetic_h36m, tmp_path):
+    """epochs < valid/mpjpe intervals: train() must fall back to the
+    FINAL params (not silently return the initial weights) and the test
+    protocol must still run."""
+    cfg = _cfg(
+        synthetic_h36m,
+        tmp_path / "out_noval",
+        extra=(
+            "train.valid_epoch_interval=5",
+            "train.mpjpe_epoch_interval=5",
+        ),
+    )
+    from manipose_tpu.drivers.h36m import main
+
+    best = main(cfg)  # train=debug -> 1 epoch, no val/eval fires
+    assert best is not None and best >= 1e9  # sentinel: nothing evaluated
+    out = tmp_path / "out_noval" / "default"
+    assert (out / "protocol_1_err.csv").exists()
+    # the end checkpoint equals the final (trained) params, which were
+    # also what the protocol evaluated
+    assert (out / "end").exists()
+
+
 def test_debug_run_on_mesh(synthetic_h36m, tmp_path):
     """End-to-end driver run with cfg.parallel enabled: trains on a
     4x2 dp x tp mesh (virtual CPU devices) through the exact same code

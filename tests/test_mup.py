@@ -69,6 +69,30 @@ class TestMuP:
         assert flat["temporal_pos_embed"] == 0.5
         assert flat["head/kernel"] == 1.0  # readout handled in forward
 
+    def test_mcl_head_kernels_keep_full_lr(self):
+        """The stacked MCL prediction/score kernels are MuReadout-style:
+        the width correction is the forward input division
+        (rmcl.py:66-67), so MuAdam must NOT also scale their LR —
+        otherwise rMCL head updates shrink by width_mult twice."""
+        from manipose_tpu.models import ManifoldConfig, RMCLManifoldMixSTE
+
+        cfg = ManifoldConfig(
+            num_frame=L, embed_dim_rot=64, depth_rot=2, num_heads_rot=4,
+            embed_dim_seg=16, depth_seg=2, num_heads_seg=4, n_hyp=2,
+            mup=True, mup_base_width=32, drop_path_rate=0.0,
+        )
+        model = RMCLManifoldMixSTE(cfg, SKEL)
+        params = model.init(jax.random.PRNGKey(0), _x(2))["params"]
+        scales = mup_lr_scales(params, width_mult=2.0)
+        flat = {
+            jax.tree_util.keystr(path, simple=True, separator="/"): v
+            for path, v in jax.tree_util.tree_flatten_with_path(scales)[0]
+        }
+        pred = [k for k in flat if k.endswith("pred_kernel")]
+        score = [k for k in flat if k.endswith("score_kernel")]
+        assert pred and score
+        assert all(flat[k] == 1.0 for k in pred + score), flat
+
     @pytest.mark.parametrize("depth", [2, 4])
     def test_coordinate_check_stable_across_width(self, depth):
         """muP coord-check: hidden-activation magnitudes and the per-step
