@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..geometry.rotations import compose_rotations
 from ..geometry.skeleton import Skeleton
 from .consistency import measure_bones_length
 
@@ -109,27 +110,35 @@ def p_mpjpe(predicted: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     x0 = x0 / norm_x
     y0 = y0 / norm_y
 
-    h = jnp.matmul(
-        jnp.swapaxes(x0, 1, 2), y0, precision=jax.lax.Precision.HIGHEST
-    )
+    # All 3x3-output contractions below are VPU mul+sum: tiny
+    # trailing-dim dots cannot tile the MXU and crash the TPU XLA
+    # algebraic simplifier (CLAUDE.md; same policy as geometry.rotations)
+    h = jnp.sum(x0[..., :, :, None] * y0[..., :, None, :], axis=-3)
     u, s, vt = jnp.linalg.svd(h)
     v = jnp.swapaxes(vt, 1, 2)
-    r = jnp.matmul(
-        v, jnp.swapaxes(u, 1, 2), precision=jax.lax.Precision.HIGHEST
-    )
+    r = compose_rotations(v, jnp.swapaxes(u, 1, 2))
 
     # Fix improper rotations (reflections).
-    sign_det = jnp.sign(jnp.linalg.det(r))[:, None]
+    sign_det = jnp.sign(_det3(r))[:, None]
     v = v.at[:, :, -1].multiply(sign_det)
     s = s.at[:, -1].multiply(sign_det[:, 0])
-    r = jnp.matmul(
-        v, jnp.swapaxes(u, 1, 2), precision=jax.lax.Precision.HIGHEST
-    )
+    r = compose_rotations(v, jnp.swapaxes(u, 1, 2))
 
     tr = jnp.sum(s, axis=1, keepdims=True)[..., None]
     a = tr * norm_x / norm_y
-    t = mu_x - a * jnp.matmul(mu_y, r, precision=jax.lax.Precision.HIGHEST)
-    predicted_aligned = (
-        a * jnp.matmul(predicted, r, precision=jax.lax.Precision.HIGHEST) + t
-    )
+    # x @ R for (N, P, 3) row vectors, as mul+sum
+    def xr(x):
+        return jnp.sum(x[..., :, None] * r[..., None, :, :], axis=-2)
+
+    t = mu_x - a * xr(mu_y)
+    predicted_aligned = a * xr(predicted) + t
     return jnp.mean(jnp.linalg.norm(predicted_aligned - target, axis=-1))
+
+
+def _det3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 determinant (elementwise; no LU on device)."""
+    return (
+        m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1])
+        - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 0])
+        + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0])
+    )

@@ -10,15 +10,20 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 # Joint weights from the MixSTE lineage (``losses.py:6-11``).
-STANDARD_H36M_WEIGHTS = jnp.asarray(
+# numpy (not jnp) on purpose: device arrays at module import would
+# initialize the JAX backend before entry points can switch platforms
+# (the ambient sitecustomize merges JAX_PLATFORMS — CLAUDE.md); jnp ops
+# consume numpy constants identically.
+STANDARD_H36M_WEIGHTS = np.asarray(
     [1, 1, 2.5, 2.5, 1, 2.5, 2.5, 1, 1, 1, 1.5, 1.5, 4, 4, 1.5, 4, 4],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
-STANDARD_HEVA_WEIGHTS = jnp.asarray(
+STANDARD_HEVA_WEIGHTS = np.asarray(
     [1, 1, 2.5, 2.5, 1, 2.5, 2.5, 1, 1.5, 1.5, 4, 4, 1.5, 4, 4],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 

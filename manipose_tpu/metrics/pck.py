@@ -13,6 +13,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ..geometry.rotations import compose_rotations, rotate_vectors
+from .joint_errors import _det3
+
 _HIGH = jax.lax.Precision.HIGHEST
 
 
@@ -38,20 +41,27 @@ def compute_similarity_transform(
     x2 = tgt - mu2
     var1 = jnp.sum(x1**2, axis=(-1, -2), keepdims=True)
 
-    k = jnp.matmul(x1, jnp.swapaxes(x2, -1, -2), precision=_HIGH)
+    # 3x3-output contractions as VPU mul+sum (tiny trailing-dim dots
+    # crash the TPU XLA simplifier — CLAUDE.md, geometry.rotations)
+    k = jnp.sum(x1[..., :, None, :] * x2[..., None, :, :], axis=-1)
     u, _, vh = jnp.linalg.svd(k)
     v = jnp.swapaxes(vh, -1, -2)
 
-    det = jnp.linalg.det(jnp.matmul(u, jnp.swapaxes(v, -1, -2), precision=_HIGH))
+    det = _det3(compose_rotations(u, jnp.swapaxes(v, -1, -2)))
     z = jnp.broadcast_to(jnp.eye(3), k.shape).copy()
     z = z.at[..., -1, -1].multiply(jnp.sign(det))
-    r = jnp.matmul(v, jnp.matmul(z, jnp.swapaxes(u, -1, -2), precision=_HIGH),
-                   precision=_HIGH)
+    r = compose_rotations(
+        v, compose_rotations(z, jnp.swapaxes(u, -1, -2))
+    )
 
-    rk = jnp.matmul(r, k, precision=_HIGH)
+    rk = compose_rotations(r, k)
     scale = jnp.trace(rk, axis1=-2, axis2=-1)[..., None, None] / var1
-    t = mu2 - scale * jnp.matmul(r, mu1, precision=_HIGH)
-    aligned = scale * jnp.matmul(r, src, precision=_HIGH) + t
+    t = mu2 - scale * rotate_vectors(r, mu1[..., 0])[..., None]
+    # R @ src for (..., 3, N) column-major points, as mul+sum
+    aligned = (
+        scale * jnp.sum(r[..., :, :, None] * src[..., None, :, :], axis=-2)
+        + t
+    )
     return jnp.swapaxes(aligned, -1, -2)
 
 

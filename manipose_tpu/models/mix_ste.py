@@ -10,8 +10,10 @@ Numerics parity notes:
 - block/shared LayerNorms use eps=1e-6 (``mix_ste.py:49``) but the head's
   LayerNorm uses the torch default eps=1e-5 (``mix_ste.py:124``);
 - GELU is the exact erf form (torch ``nn.GELU`` default);
-- attention scale is head_dim**-0.5, or 8/head_dim under muP
-  (``mix_ste.py:243,396``), overridable via qk_scale;
+- attention scale is head_dim**-0.5, or 1/head_dim under muP — the
+  wired path at ``mix_ste.py:243``; the reference's 8/head_dim
+  ``MuAttention`` (``mix_ste.py:371-398``) is dead code never reached —
+  overridable via qk_scale;
 - residual scale is 1/sqrt(depth) under muP else 1 (``mix_ste.py:330``);
 - stochastic depth rates follow linspace(0, drop_path_rate, depth).
 """

@@ -10,6 +10,7 @@ average / best-score / oracle) is provided as pure functions.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Tuple
 
 import jax
@@ -63,12 +64,17 @@ class MCLHeads(nn.Module):
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
         x_hat = (x - mean) * jax.lax.rsqrt(var + 1e-5)
-        if self.mup:
-            x_hat = x_hat / (self.embed_dim / self.mup_base_width)
+        # MuReadout divides its ENTIRE input (x_hat*s + ln_b) by the width
+        # multiplier, so under muP the folded ln_bias term divides too
+        readout_div = (
+            (self.embed_dim / self.mup_base_width) if self.mup else 1.0
+        )
+        x_hat = x_hat / readout_div
 
         kernel = ln_scale[:, :, None] * pred_kernel  # (H, C, D)
         bias = (
-            jnp.einsum("hc,hcd->hd", ln_bias, pred_kernel) + pred_bias
+            jnp.einsum("hc,hcd->hd", ln_bias / readout_div, pred_kernel)
+            + pred_bias
         )  # (H, D)
         out = (
             jnp.einsum("bljc,hcd->bhljd", x_hat, kernel)
@@ -92,7 +98,15 @@ class RMCLRotMixSTE(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        trunk_cfg = self.cfg.rot_trunk_config()
+        # Reference quirk kept: RMCLRotMixSTE's super().__init__ passes
+        # positional args ending at norm_layer, so `mup` never reaches
+        # the trunk (``rmcl_manifold_mix_ste.py:208-223``) — under muP
+        # the rMCL rotations trunk keeps head_dim**-0.5 attention and
+        # unit residual scale; only the MCL heads are MuReadouts (and the
+        # segments branch, which does receive mup).
+        trunk_cfg = dataclasses.replace(
+            self.cfg.rot_trunk_config(), mup=False
+        )
         feats = MixSTE(trunk_cfg, apply_head=False, name="trunk")(
             x, deterministic
         )  # (B, L, J, C)
