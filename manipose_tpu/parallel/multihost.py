@@ -67,10 +67,13 @@ def initialize(
     process_id = process_id if process_id is not None else (
         int(env_pid) if env_pid else None
     )
-    if auto:
+    given = (coordinator_address, num_processes, process_id)
+    if auto and all(v is None for v in given):
+        # auto-discovery only when nothing explicit was supplied:
+        # explicit wiring (args or JAX_* env) always wins over the
+        # ambient MANIPOSE_MULTIHOST flag
         jax.distributed.initialize()
         return True
-    given = (coordinator_address, num_processes, process_id)
     if all(v is None for v in given):
         return False  # single-process run
     if any(v is None for v in given):

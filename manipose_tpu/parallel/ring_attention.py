@@ -33,15 +33,13 @@ def _ring_attention_local(q, k, v, scale: float, axis_name: str):
     p = jax.lax.psum(1, axis_name)
 
     q32 = q.astype(jnp.float32) * scale
-    n_local = q.shape[2]
 
     # streaming softmax state
     m = jnp.full(q.shape[:3], -jnp.inf, jnp.float32)          # row max
     l = jnp.zeros(q.shape[:3], jnp.float32)                   # row sum
     o = jnp.zeros(q32.shape, jnp.float32)                     # unnormalized out
 
-    def body(step, carry):
-        m, l, o, k_blk, v_blk = carry
+    def accumulate(m, l, o, k_blk, v_blk):
         scores = jnp.einsum(
             "bhnd,bhmd->bhnm", q32, k_blk.astype(jnp.float32)
         )  # (B, H, n_local, n_local)
@@ -54,15 +52,23 @@ def _ring_attention_local(q, k, v, scale: float, axis_name: str):
         o = o * alpha[..., None] + jnp.einsum(
             "bhnm,bhmd->bhnd", probs, v_blk.astype(jnp.float32)
         )
+        return new_m, l, o
+
+    def body(step, carry):
+        m, l, o, k_blk, v_blk = carry
+        m, l, o = accumulate(m, l, o, k_blk, v_blk)
         # rotate K/V one hop around the ring
         perm = [(i, (i + 1) % p) for i in range(p)]
         k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-        return new_m, l, o, k_blk, v_blk
+        return m, l, o, k_blk, v_blk
 
-    m, l, o, _, _ = jax.lax.fori_loop(0, p, body, (m, l, o, k, v))
+    # p-1 accumulate+rotate steps, then the final block without the
+    # rotate (its output would be discarded — a wasted ICI collective
+    # a loop cannot dead-code away)
+    m, l, o, k, v = jax.lax.fori_loop(0, p - 1, body, (m, l, o, k, v))
+    m, l, o = accumulate(m, l, o, k, v)
     out = o / l[..., None]
-    del n_local
     return out.astype(q.dtype)
 
 

@@ -111,15 +111,25 @@ class Predictor:
     @classmethod
     def from_checkpoint(cls, directory, tag: str = "best_val",
                         cfg: Optional[Config] = None, **kw):
-        """Load an orbax checkpoint written by the training loop."""
+        """Load an orbax checkpoint written by the training loop.
+
+        Checkpoints are float trees, so the restore target must be the
+        float template — quantization (``quantize=True``) is applied
+        AFTER restoring (a quantized template has a different tree
+        structure: kernel -> kernel_q + scale)."""
         if cfg is None:
             cfg = load_config("config")
         from .train.checkpoint import restore_checkpoint
 
-        predictor = cls(cfg=cfg, **kw)
+        quantize = kw.pop("quantize", False)
+        predictor = cls(cfg=cfg, quantize=False, **kw)
         predictor.variables = restore_checkpoint(
             directory, tag, predictor.variables
         )
+        if quantize:
+            return cls(
+                cfg=cfg, variables=predictor.variables, quantize=True, **kw
+            )
         return predictor
 
     # ------------------------------------------------------------------
@@ -131,8 +141,10 @@ class Predictor:
 
         Windows of ``seq_len`` frames (replicate-padded tail), batched to
         the static ``batch_size`` so every call reuses one compiled graph.
-        Optionally also returns per-window hypotheses (W, H, L, J, 3) and
-        scores (W, H, L, 1).
+        With ``return_hypotheses=True`` returns a
+        ``(poses, hypotheses (W, H, L, J, 3), scores (W, H, L, 1))``
+        triple — ``(poses, None, None)`` for non-rMCL models, which have
+        no hypothesis axis.
         """
         keypoints_2d = np.asarray(keypoints_2d, np.float32)
         n_frames, j, c = keypoints_2d.shape
@@ -166,7 +178,9 @@ class Predictor:
                 all_scores.append(np.asarray(scores[:n_valid]))
 
         poses = np.concatenate(outs, axis=0).reshape(-1, j, 3)[:n_frames]
-        if return_hypotheses and self.rmcl:
+        if return_hypotheses:
+            if not self.rmcl:
+                return poses, None, None
             return (
                 poses,
                 np.concatenate(all_hyps, axis=0),

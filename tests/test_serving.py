@@ -99,6 +99,41 @@ class TestPredictor:
 class TestInt8Serving:
     """int8 weight+activation serving path (ops/quant.py)."""
 
+    def test_from_orbax_checkpoint_with_quantize(self, tmp_path):
+        """quantize=True must restore the FLOAT checkpoint first and
+        quantize after (the quantized tree has a different structure, so
+        restoring into it is impossible)."""
+        from manipose_tpu.train.checkpoint import save_checkpoint
+
+        cfg = load_config("config", overrides=OVERRIDES)
+        source = Predictor(cfg=cfg, batch_size=2, tta=False)
+        save_checkpoint(tmp_path, "best_val", source.variables, block=True)
+
+        loaded = Predictor.from_checkpoint(
+            tmp_path, tag="best_val", cfg=cfg, batch_size=2, tta=False,
+            quantize=True,
+        )
+        assert loaded.quantized
+        rng = np.random.default_rng(5)
+        video = rng.normal(size=(18, 17, 2)).astype(np.float32)
+        ref = source.predict_video(video)
+        out = loaded.predict_video(video)
+        assert out.shape == ref.shape
+        # int8 trunk: close to the float predictor restored from the
+        # same checkpoint, not exact
+        assert np.isfinite(out).all()
+        assert np.abs(out - ref).max() < 0.2 * max(np.abs(ref).max(), 1e-3)
+
+    def test_return_hypotheses_on_non_rmcl_returns_none_triple(self):
+        cfg = load_config(
+            "config", overrides=OVERRIDES + ["model.arch=mixste"]
+        )
+        p = Predictor(cfg=cfg, batch_size=2, tta=False)
+        video = np.zeros((9, 17, 2), np.float32)
+        poses, hyps, scores = p.predict_video(video, return_hypotheses=True)
+        assert poses.shape == (9, 17, 3)
+        assert hyps is None and scores is None
+
     def test_quantized_trunk_close_to_float(self):
         import dataclasses
 
