@@ -86,6 +86,7 @@ def pipeline_apply(
     mesh: Mesh,
     axis: str = "pipe",
     microbatches: int = 8,
+    data_axis: str = None,
 ) -> jnp.ndarray:
     """Apply S sequential stages as a GPipe pipeline over ``axis``.
 
@@ -95,6 +96,12 @@ def pipeline_apply(
     per-stage params stacked on a new leading axis of size S =
     ``mesh.shape[axis]``. ``x``: (B, ...) with B divisible by
     ``microbatches``. Returns stage_{S-1}(... stage_0(x)) replicated.
+
+    ``data_axis`` composes PP with data parallelism on a 2-axis mesh:
+    the batch dim shards over it, each data-shard runs an independent
+    pipeline over ``axis`` (``microbatches`` then applies per shard, so
+    the per-shard batch B / data_size must divide by it), and the output
+    keeps the batch sharding.
 
     Differentiable: ``jax.grad`` through this IS pipelined backprop.
     """
@@ -107,6 +114,7 @@ def pipeline_apply(
             f"stacked param leading axis {leaf.shape[0]} != pipe size "
             f"{n_stages}"
         )
+    batch_spec = P(data_axis) if data_axis else P()
     fn = jax.shard_map(
         functools.partial(
             _pipeline_local,
@@ -115,8 +123,8 @@ def pipeline_apply(
             microbatches=microbatches,
         ),
         mesh=mesh,
-        in_specs=(param_specs, P()),
-        out_specs=P(),
+        in_specs=(param_specs, batch_spec),
+        out_specs=batch_spec,
         check_vma=False,
     )
     return fn(stacked_params, x)

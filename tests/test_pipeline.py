@@ -108,6 +108,57 @@ class TestPipelineMlpStages:
             pipeline_apply(self._stage, params, x, mesh, microbatches=4)
 
 
+class TestPipelineComposesWithDataParallel:
+    """PP x DP: a ('pipe', 'data') mesh runs one independent pipeline
+    per batch shard; numbers match the sequential stack."""
+
+    def test_pp_dp_mesh_matches_sequential(self):
+        import numpy as _np
+
+        S, D, B, C = 4, 2, 16, 8
+        mesh = Mesh(
+            _np.array(jax.devices()[: S * D]).reshape(S, D),
+            ("pipe", "data"),
+        )
+        rng = _np.random.default_rng(7)
+        params = {
+            "w": jnp.asarray(
+                rng.normal(size=(S, C, C)).astype(_np.float32) / _np.sqrt(C)
+            ),
+            "b": jnp.asarray(
+                rng.normal(size=(S, C)).astype(_np.float32) * 0.1
+            ),
+        }
+        x = jnp.asarray(rng.normal(size=(B, C)).astype(_np.float32))
+
+        def stage(p, z):
+            return jnp.tanh(z @ p["w"] + p["b"])
+
+        out = pipeline_apply(
+            stage, params, x, mesh, axis="pipe", microbatches=4,
+            data_axis="data",
+        )
+        ref = x
+        for s in range(S):
+            ref = stage(
+                jax.tree_util.tree_map(lambda p: p[s], params), ref
+            )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
+
+        # gradients flow through the composed mesh too
+        def loss(params):
+            y = pipeline_apply(stage, params, x, mesh, microbatches=4,
+                               data_axis="data")
+            return jnp.sum(y ** 2)
+
+        g = jax.grad(loss)(params)
+        assert all(
+            np.isfinite(np.asarray(l)).all()
+            for l in jax.tree_util.tree_leaves(g)
+        )
+
+
 class TestPipelineTransformerBlocks:
     """The real thing: MixSTE transformer Blocks as pipeline stages."""
 
