@@ -16,6 +16,14 @@ import time
 
 import numpy as np
 
+# NOTE: run this benchmark on an otherwise-idle host. TPU dispatch goes
+# through the local tunnel service; when other processes saturate the
+# host CPUs (e.g. the CPU test suite), that service starves and the
+# reading collapses ~30-100x even though the chip itself is idle
+# (measured 42.6 idle vs 0.3-1.3 under a concurrent pytest run —
+# raising our own priority does not help, the tunnel daemon is the
+# starved component).
+
 import jax
 import jax.numpy as jnp
 
@@ -75,10 +83,15 @@ def main():
         model.apply, LossConfig(rmcl=True), skel, tx, donate=False
     )
 
-    # warmup / compile
-    for _ in range(2):
+    # warmup / compile. Force completion with float(...) reductions —
+    # block_until_ready returns early on this backend (CLAUDE.md), and a
+    # warmup that doesn't actually drain leaves cold-cache compile work
+    # inside the timed window (observed as a 30x-low reading right after
+    # a model-graph change invalidated the compile cache).
+    for _ in range(3):
         state, metrics = step(state, x, y, 4e-5)
-        jax.block_until_ready(state.params)
+        _ = float(metrics["loss"])
+    _ = float(jnp.sum(jax.tree_util.tree_leaves(state.params)[0]))
 
     # Pipelined measurement (the production regime): dispatch steps
     # asynchronously and force completion ONCE at the end via float(...)
