@@ -77,6 +77,11 @@ def gather_windows(
     """-> (n_windows, seq_len, J, C), replicate-padded past video ends."""
     assert all(v.shape[0] > 0 for v in videos), "empty video passed"
     j, c = videos[0].shape[1:]
+    # every video must share (J, C): the C core receives one row stride
+    # for all videos and would read out of bounds on a smaller one
+    assert all(v.shape[1:] == (j, c) for v in videos), (
+        f"heterogeneous video shapes: {[v.shape for v in videos]}"
+    )
     row = j * c
     n_windows = len(video_idx)
     video_idx = np.ascontiguousarray(video_idx, np.int64)

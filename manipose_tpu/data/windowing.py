@@ -163,7 +163,10 @@ class PoseSequenceDataset:
         n_frames = pose_3d.shape[0]
 
         if self.random_start:
-            seq_start = int(rng.integers(0, n_frames - self.seq_len))
+            # the reference samples randint(0, n-L) which crashes for
+            # n == L (a valid single-window video, start 0): fixed here
+            high = n_frames - self.seq_len
+            seq_start = int(rng.integers(0, high)) if high > 0 else 0
         else:
             seq_start = int(self._map_index_to_frame[index])
         seq_end = seq_start + self.seq_len
@@ -220,7 +223,10 @@ class PoseSequenceDataset:
             highs = np.asarray(
                 [self._poses_3d[v].shape[0] - self.seq_len for v in video_idx]
             )
-            starts = rng.integers(0, highs)
+            # exact-length videos (high == 0) have one valid start: 0
+            starts = np.where(
+                highs > 0, rng.integers(0, np.maximum(highs, 1)), 0
+            )
         else:
             starts = self._map_index_to_frame[indices]
 

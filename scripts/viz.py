@@ -66,7 +66,12 @@ def main(cfg):
             ground_truth.shape[0],
             n_frames or prediction.shape[0],
         )
-        anim_output[METHODS.get(arch, arch)] = prepare_prediction_for_viz(
+        title = METHODS.get(arch, arch)
+        if title in anim_output:
+            # two checkpoints of the same arch: disambiguate the panel
+            # title instead of silently overwriting the first
+            title = f"{title} ({Path(ckpt).stem or len(anim_output)})"
+        anim_output[title] = prepare_prediction_for_viz(
             prediction[:n_frames], cam, multihyp=multihyp
         )
 

@@ -73,7 +73,9 @@ def main():
                            donate=False)
 
     # warmup / compile
-    batch0 = next(iter(prefetch(loader)))
+    # one batch without prefetch(): abandoning a prefetch generator
+    # leaks its producer thread for the process lifetime
+    batch0 = next(iter(loader))
     state, m = step(state, jnp.asarray(batch0.pose_2d),
                     jnp.asarray(batch0.pose_3d), 4e-5)
     _ = float(m["loss"])

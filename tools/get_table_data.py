@@ -24,8 +24,13 @@ def read_metrics(d: Path) -> dict:
     mfile = d / "metrics.txt"
     if mfile.exists():
         for line in mfile.read_text().splitlines():
-            k, v = line.split(": ")
-            metrics[k] = float(v)
+            parts = line.split(": ")
+            if len(parts) != 2:
+                continue  # blank / malformed line: skip, don't abort
+            try:
+                metrics[parts[0]] = float(parts[1])
+            except ValueError:
+                continue
     table = d / "protocol_1_err.csv"
     if table.exists():
         df = pd.read_csv(table)

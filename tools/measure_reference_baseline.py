@@ -1,6 +1,13 @@
 """Measure reference ManiPose train-step throughput (torch CPU).
 Stubs timm/mup (identity DropPath at p=0-eval / Linear MuReadout) so the
-reference imports; runs fwd+bwd+Adam steps and reports seq/sec."""
+reference imports; runs fwd+bwd+Adam steps and reports seq/sec.
+
+NOTE: the stubs/skeleton here deliberately DUPLICATE
+tests/conftest.install_reference_stubs + test_geometry._reference_h36m_17
+instead of importing them: this is a pure-torch timing tool and pulling
+in conftest would initialize JAX (and pin its backend config) inside the
+measured process. If the conftest stubs gain a fix, mirror it here —
+this tool anchors bench.py's REFERENCE_SEQ_PER_SEC."""
 import sys, time, types
 import torch, torch.nn as nn
 

@@ -210,6 +210,10 @@ def plot_sweep_lineplot(out_dirs, sweep_values, save_dir: Path,
     """Aggregated + oracle MPJPE vs a swept hyper-parameter
     (plot_nhyps_lineplot.py:47-61 — but pulled from run artifacts instead
     of hardcoded paper numbers)."""
+    assert len(out_dirs) == len(sweep_values), (
+        f"{len(out_dirs)} run dirs vs {len(sweep_values)} sweep values — "
+        "zip would silently drop the excess"
+    )
     rows = []
     for d, v in zip(out_dirs, sweep_values):
         df = _load_csv(d, "protocol_1_err")

@@ -11,6 +11,7 @@ predict-zero baseline; random inputs could never show that.
 """
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -22,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update(
-    "jax_compilation_cache_dir", "/root/.cache/jax-tpu-cache"
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-tpu-cache"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
