@@ -199,10 +199,14 @@ class TestReverseConversion:
         path = tmp_path / "exported.pth"
         save_torch_checkpoint(path, variables, "mixste")
         restored = load_torch_checkpoint(path, "mixste")
-        for (p1, a), (p2, b) in zip(
-            jax.tree_util.tree_flatten_with_path(variables["params"])[0],
-            jax.tree_util.tree_flatten_with_path(restored["params"])[0],
-        ):
+        src_leaves = jax.tree_util.tree_flatten_with_path(
+            variables["params"]
+        )[0]
+        dst_leaves = jax.tree_util.tree_flatten_with_path(
+            restored["params"]
+        )[0]
+        assert len(src_leaves) == len(dst_leaves)  # zip must not truncate
+        for (p1, a), (p2, b) in zip(src_leaves, dst_leaves):
             assert p1 == p2
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-7, err_msg=str(p1))

@@ -137,6 +137,11 @@ class TestMissMasks:
             assert (np.diff(dropped) == 1).all()
         elif miss_type == "structured_joint":
             assert (mask[:, [0, 4, 5]] == 1).all()  # only right leg drops
+            assert (mask == 0).any(), "no keypoint was actually dropped"
+            dropped_frames = np.nonzero((mask == 0).any(axis=1))[0]
+            assert len(dropped_frames) == 8  # int(32 * .25) frames
+        elif miss_type == "random":
+            assert (mask == 0).any(), "no keypoint was actually dropped"
         elif miss_type == "random_left_arm_right_leg":
             assert (mask == 0).sum() == 8 * 6  # floor(.25*32) frames x 6 joints
 

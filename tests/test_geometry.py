@@ -141,7 +141,11 @@ class TestKinematics:
     def _random_rotations(self, rng, shape):
         from scipy.spatial.transform import Rotation
 
-        flat = Rotation.random(int(np.prod(shape)), random_state=42).as_matrix()
+        # honor the per-test rng (a hardcoded random_state would make
+        # every FK test reuse one identical rotation sample)
+        flat = Rotation.random(
+            int(np.prod(shape)), random_state=rng
+        ).as_matrix()
         return flat.reshape(*shape, 3, 3).astype(np.float32)
 
     def test_t_pose_matches_reference_loop(self):

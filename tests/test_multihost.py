@@ -16,19 +16,25 @@ from manipose_tpu.parallel import (
 )
 
 
+_MH_VARS = ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+            "JAX_PROCESS_ID", "MANIPOSE_MULTIHOST")
+
+
+def _clean_env(monkeypatch):
+    for var in _MH_VARS:
+        monkeypatch.delenv(var, raising=False)
+
+
 class TestInitialize:
     def test_noop_without_coordinator(self, monkeypatch):
-        for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
-                    "JAX_PROCESS_ID"):
-            monkeypatch.delenv(var, raising=False)
+        _clean_env(monkeypatch)
         assert initialize_multihost() is False
 
     def test_primary_on_single_process(self):
         assert is_primary() is True
 
     def test_partial_spec_raises(self, monkeypatch):
-        for var in ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
-            monkeypatch.delenv(var, raising=False)
+        _clean_env(monkeypatch)
         monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "host:1234")
         import pytest
 
@@ -38,6 +44,7 @@ class TestInitialize:
     def test_auto_mode_calls_argless_initialize(self, monkeypatch):
         import jax
 
+        _clean_env(monkeypatch)
         calls = []
         monkeypatch.setattr(
             jax.distributed, "initialize",
