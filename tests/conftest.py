@@ -112,3 +112,55 @@ def load_ref_module(dotted_name: str):
     sys.modules[dotted_name] = mod
     spec.loader.exec_module(mod)
     return mod
+
+
+def install_driver_stubs():
+    """Make the reference DRIVER modules importable (main_h36m_lifting,
+    eval_utils): stub omegaconf/hydra/mup-optim/mlflow, and publish the
+    architectures into the stubbed ``mh_so3_hpe.architectures`` package.
+    Returns the loaded reference rmcl module. Idempotent — the single
+    source of truth for the driver-level stub scaffolding (tests AND
+    tools/h36m_head_to_head.py share it)."""
+    import torch
+
+    install_reference_stubs()
+    ref_rmcl = load_ref_module(
+        "mh_so3_hpe.architectures.rmcl_manifold_mix_ste"
+    )
+    if "omegaconf" not in sys.modules:
+        om = types.ModuleType("omegaconf")
+        om.DictConfig = dict
+        sys.modules["omegaconf"] = om
+    om = sys.modules["omegaconf"]
+    if not hasattr(om, "ListConfig"):
+        om.ListConfig = list
+    if not hasattr(om, "OmegaConf"):
+        om.OmegaConf = types.SimpleNamespace(to_yaml=lambda c: str(c))
+    arch = sys.modules["mh_so3_hpe.architectures"]
+    arch.RMCLManifoldMixSTE = ref_rmcl.RMCLManifoldMixSTE
+    arch.ManifoldMixSTE = load_ref_module(
+        "mh_so3_hpe.architectures.manifold_mix_ste"
+    ).ManifoldMixSTE
+    arch.MixSTE = load_ref_module("mh_so3_hpe.architectures.mix_ste").MixSTE
+    if "hydra" not in sys.modules:
+        hydra = types.ModuleType("hydra")
+        hydra.main = lambda **kw: (lambda f: f)
+        hydra.utils = types.ModuleType("hydra.utils")
+        hydra.utils.get_original_cwd = lambda: "."
+        sys.modules["hydra"] = hydra
+        sys.modules["hydra.utils"] = hydra.utils
+    mup = sys.modules["mup"]
+    mup.make_base_shapes = lambda *a, **k: None
+    mup.set_base_shapes = lambda m, *a, **k: m
+    if "mup.optim" not in sys.modules:
+        mup_optim = types.ModuleType("mup.optim")
+        mup_optim.MuAdam = torch.optim.Adam
+        sys.modules["mup.optim"] = mup_optim
+    if "mup.init" not in sys.modules:
+        mup_init = types.ModuleType("mup.init")
+        mup_init.kaiming_uniform_ = torch.nn.init.kaiming_uniform_
+        sys.modules["mup.init"] = mup_init
+        mup.init = mup_init
+    if "mlflow" not in sys.modules:
+        sys.modules["mlflow"] = types.ModuleType("mlflow")
+    return ref_rmcl

@@ -18,22 +18,10 @@ from manipose_tpu.geometry import h36m_skeleton_17
 from manipose_tpu.models import ManifoldConfig, RMCLManifoldMixSTE
 from manipose_tpu.train.checkpoint import convert_torch_state_dict
 
-from conftest import install_reference_stubs, load_ref_module
+from conftest import install_driver_stubs, load_ref_module
 from test_geometry import _reference_h36m_17
 
-install_reference_stubs()
-ref_rmcl_mod = load_ref_module("mh_so3_hpe.architectures.rmcl_manifold_mix_ste")
-
-# eval_utils imports omegaconf (absent here) and the architectures package
-# __init__ (stubbed): provide both before loading it.
-import sys  # noqa: E402
-
-if "omegaconf" not in sys.modules:
-    om = types.ModuleType("omegaconf")
-    om.DictConfig = dict
-    sys.modules["omegaconf"] = om
-_arch_stub = sys.modules["mh_so3_hpe.architectures"]
-_arch_stub.RMCLManifoldMixSTE = ref_rmcl_mod.RMCLManifoldMixSTE
+ref_rmcl_mod = install_driver_stubs()
 ref_eval = load_ref_module("eval_utils")
 
 B, L, J, H = 3, 9, 17, 2

@@ -15,48 +15,10 @@ import jax.numpy as jnp
 from manipose_tpu.train import LossConfig, compute_loss
 from manipose_tpu.geometry import h36m_skeleton_17
 
-from conftest import install_reference_stubs, load_ref_module
+from conftest import install_driver_stubs, load_ref_module
 from test_geometry import _reference_h36m_17
 
-install_reference_stubs()
-ref_rmcl_mod = load_ref_module("mh_so3_hpe.architectures.rmcl_manifold_mix_ste")
-if "omegaconf" not in sys.modules:
-    om = types.ModuleType("omegaconf")
-    om.DictConfig = dict
-    sys.modules["omegaconf"] = om
-_arch = sys.modules["mh_so3_hpe.architectures"]
-_arch.RMCLManifoldMixSTE = ref_rmcl_mod.RMCLManifoldMixSTE
-_arch.ManifoldMixSTE = load_ref_module(
-    "mh_so3_hpe.architectures.manifold_mix_ste"
-).ManifoldMixSTE
-_arch.MixSTE = load_ref_module("mh_so3_hpe.architectures.mix_ste").MixSTE
-# main_h36m_lifting pulls hydra/mup-optim at import time: stub them
-# (only make_loss/compute_and_acc_loss are exercised here).
-if "hydra" not in sys.modules:
-    hydra = types.ModuleType("hydra")
-    hydra.main = lambda **kw: (lambda f: f)
-    hydra_utils = types.ModuleType("hydra.utils")
-    hydra_utils.get_original_cwd = lambda: "."
-    hydra.utils = hydra_utils
-    sys.modules["hydra"] = hydra
-    sys.modules["hydra.utils"] = hydra_utils
-_mup = sys.modules["mup"]
-_mup.make_base_shapes = lambda *a, **k: None
-_mup.set_base_shapes = lambda m, *a, **k: m
-mup_optim = types.ModuleType("mup.optim")
-mup_optim.MuAdam = torch.optim.Adam
-sys.modules["mup.optim"] = mup_optim
-mup_init = types.ModuleType("mup.init")
-mup_init.kaiming_uniform_ = torch.nn.init.kaiming_uniform_
-sys.modules["mup.init"] = mup_init
-_mup.init = mup_init
-if "omegaconf" in sys.modules:
-    sys.modules["omegaconf"].OmegaConf = types.SimpleNamespace(
-        to_yaml=lambda c: str(c)
-    )
-sys.modules["omegaconf"].ListConfig = list
-if "mlflow" not in sys.modules:
-    sys.modules["mlflow"] = types.ModuleType("mlflow")
+ref_rmcl_mod = install_driver_stubs()
 ref_main = load_ref_module("main_h36m_lifting")
 
 B, H, L, J = 3, 2, 9, 17

@@ -45,7 +45,7 @@ import numpy as np
 # conftest import side effect: CPU backend (the reference is CPU torch;
 # identical backends keep the comparison fair) + reference loaders
 import conftest  # noqa: E402
-from conftest import install_reference_stubs, load_ref_module  # noqa: E402
+from conftest import install_driver_stubs, load_ref_module  # noqa: E402
 
 L, J, K = 27, 17, 3
 MODEL_KW = dict(
@@ -76,44 +76,7 @@ def run_reference(seed: int, train_split, val_split, epochs: int):
     import torch
     from torch.utils.data import DataLoader
 
-    install_reference_stubs()
-    ref_rmcl_mod = load_ref_module(
-        "mh_so3_hpe.architectures.rmcl_manifold_mix_ste"
-    )
-    if "omegaconf" not in sys.modules:
-        om = types.ModuleType("omegaconf")
-        om.DictConfig = dict
-        sys.modules["omegaconf"] = om
-    sys.modules["omegaconf"].ListConfig = list
-    if not hasattr(sys.modules["omegaconf"], "OmegaConf"):
-        sys.modules["omegaconf"].OmegaConf = types.SimpleNamespace(
-            to_yaml=lambda c: str(c)
-        )
-    arch = sys.modules["mh_so3_hpe.architectures"]
-    arch.RMCLManifoldMixSTE = ref_rmcl_mod.RMCLManifoldMixSTE
-    arch.ManifoldMixSTE = load_ref_module(
-        "mh_so3_hpe.architectures.manifold_mix_ste"
-    ).ManifoldMixSTE
-    arch.MixSTE = load_ref_module("mh_so3_hpe.architectures.mix_ste").MixSTE
-    if "hydra" not in sys.modules:
-        hydra = types.ModuleType("hydra")
-        hydra.main = lambda **kw: (lambda f: f)
-        hydra.utils = types.ModuleType("hydra.utils")
-        hydra.utils.get_original_cwd = lambda: "."
-        sys.modules["hydra"] = hydra
-        sys.modules["hydra.utils"] = hydra.utils
-    mup = sys.modules["mup"]
-    mup.make_base_shapes = lambda *a, **k: None
-    mup.set_base_shapes = lambda m, *a, **k: m
-    mup_optim = types.ModuleType("mup.optim")
-    mup_optim.MuAdam = torch.optim.Adam
-    sys.modules["mup.optim"] = mup_optim
-    mup_init = types.ModuleType("mup.init")
-    mup_init.kaiming_uniform_ = torch.nn.init.kaiming_uniform_
-    sys.modules["mup.init"] = mup_init
-    mup.init = mup_init
-    if "mlflow" not in sys.modules:
-        sys.modules["mlflow"] = types.ModuleType("mlflow")
+    ref_rmcl_mod = install_driver_stubs()
     ref_main = load_ref_module("main_h36m_lifting")
     ref_generators = load_ref_module("mh_so3_hpe.data.generators")
     ref_reg = load_ref_module("mh_so3_hpe.metrics.regularizations")
