@@ -1,13 +1,22 @@
 """Benchmark: flagship ManiPose-rMCL train-step throughput on TPU.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "seq/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "seq/s", "vs_baseline": N,
+   "tf_per_sec": N, "ceiling_tf_per_sec": N, "mfu": N,
+   "vs_cpu_reference": N}
+
+The benchmark is SELF-ANCHORING (VERDICT r2 #2): every run re-probes the
+same-session 4096^3 bf16 GEMM ceiling (this tunnel slice's achievable
+rate drifts 42-67 TF/s between sessions, BASELINE.md) and derives the
+step's TF/s from the compiled graph's own cost_analysis, so the reported
+``mfu`` is reproducible per-run rather than anchored to a stale probe.
 
 Baseline: the reference PyTorch implementation executed on this host's
 CPU (its only runnable backend in this environment — it is CUDA/CPU
 torch), measured once via tools/measure_reference_baseline.py at the
 reference's default batch size (3) and 243-frame flagship config:
-REFERENCE_SEQ_PER_SEC below records that number.
+REFERENCE_SEQ_PER_SEC below records that number (an honest GPU-class
+estimate is derived in BASELINE.md from the per-seq FLOPs).
 """
 
 import json
@@ -47,6 +56,42 @@ REFERENCE_SEQ_PER_SEC = 0.0543
 BATCH = 16
 SEQ_LEN = 243
 DTYPE = "bfloat16"
+
+
+def gemm_ceiling_tf(n: int = 8192, iters: int = 12) -> float:
+    """Same-session achievable GEMM rate (TF/s): chained n^3 bf16
+    matmuls (each consumes the previous output — a true dependency
+    chain), forced once at the end with float(...) per the backend's
+    completion-barrier hazard (CLAUDE.md).
+
+    n=8192: at 4096^3 each chained call is ~2 ms of MXU work and the
+    tunnel's per-dispatch overhead dominates (probed 30 TF/s while the
+    model itself sustained 42 — a 'ceiling' below the floor); 8192^3 is
+    ~1.1 TFLOP/call, long enough to amortize dispatch."""
+    a = jnp.ones((n, n), jnp.bfloat16)
+    b = jnp.full((n, n), 1.0 / n, jnp.bfloat16)
+    f = jax.jit(lambda x, y: x @ y)
+    out = f(a, b)
+    _ = float(jnp.sum(out))  # warm + compile drain
+    t0 = time.perf_counter()
+    o = a
+    for _ in range(iters):
+        o = f(o, b)
+    _ = float(jnp.sum(o))
+    dt = (time.perf_counter() - t0) / iters
+    return 2 * n**3 / dt / 1e12
+
+
+def step_flops(step, state, x, y) -> float:
+    """FLOPs of one compiled train step from XLA's own cost model."""
+    try:
+        compiled = step.lower(state, x, y, 4e-5, None).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def main():
@@ -113,6 +158,14 @@ def main():
     vs_baseline = (
         seq_per_sec / REFERENCE_SEQ_PER_SEC if REFERENCE_SEQ_PER_SEC else None
     )
+
+    # self-anchoring MFU: per-step FLOPs from the compiled graph, GEMM
+    # ceiling probed in THIS session (after the timed window so the
+    # probe's dispatch can't pollute it)
+    flops = step_flops(step, state, x, y)
+    tf_per_sec = flops / dt / 1e12 if flops else None
+    ceiling = gemm_ceiling_tf()
+    mfu = (tf_per_sec / ceiling) if (tf_per_sec and ceiling) else None
     print(
         json.dumps(
             {
@@ -120,6 +173,12 @@ def main():
                 "value": round(seq_per_sec, 3),
                 "unit": "seq/s",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "tf_per_sec": round(tf_per_sec, 2) if tf_per_sec else None,
+                "ceiling_tf_per_sec": round(ceiling, 2) if ceiling else None,
+                "mfu": round(mfu, 3) if mfu else None,
+                "vs_cpu_reference": (
+                    round(vs_baseline, 2) if vs_baseline else None
+                ),
             }
         )
     )

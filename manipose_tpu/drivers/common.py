@@ -35,6 +35,23 @@ def instantiate_model(cfg: Config, skeleton: Skeleton, quant: bool = False):
     dtype = _DTYPES[m.get("dtype", "float32")]
     attn_impl = m.get("attn_impl", "xla")
     mlp_impl = m.get("mlp_impl", "xla")
+    ring = None
+    if attn_impl == "ring":
+        # sequence-parallel temporal attention: the frame axis shards
+        # over the mesh's 'model' axis (so params are NOT tensor-
+        # parallel there — train/loop.py switches the param mode to dp)
+        from ..parallel import RingSpec, make_mesh
+
+        pcfg = cfg.get("parallel") or {}
+        n_model = int(pcfg.get("model", 1))
+        assert n_model > 1, (
+            "model.attn_impl=ring shards the sequence over the 'model' "
+            "mesh axis; set parallel.model > 1"
+        )
+        mesh = make_mesh(
+            data=int(pcfg.get("data", 1)), model=n_model
+        )
+        ring = RingSpec(mesh=mesh, axis="model", batch_axis="data")
     if m.arch == "mixste":
         model = MixSTE(
             MixSTEConfig(
@@ -49,6 +66,7 @@ def instantiate_model(cfg: Config, skeleton: Skeleton, quant: bool = False):
                 mup=m.mup,
                 dtype=dtype,
                 attn_impl=attn_impl,
+                ring=ring,
                 mlp_impl=mlp_impl,
                 quant=quant,
             )
@@ -71,6 +89,7 @@ def instantiate_model(cfg: Config, skeleton: Skeleton, quant: bool = False):
         mup=m.mup,
         dtype=dtype,
         attn_impl=attn_impl,
+        ring=ring,
         mlp_impl=mlp_impl,
         quant=quant,
     )

@@ -164,6 +164,9 @@ def main(cfg: Config) -> Optional[float]:
     skeleton = (dataset_test or dataset_train).skeleton
 
     model, rmcl = instantiate_model(cfg, skeleton)
+    from ..parallel.flagship import maybe_pipelined_apply
+
+    apply_fn = maybe_pipelined_apply(model, cfg)
     if cfg.run.checkpoint_model:
         variables = load_torch_checkpoint(cfg.run.checkpoint_model, cfg.model.arch)
         variables = jax.tree_util.tree_map(jnp.asarray, variables)
@@ -184,7 +187,7 @@ def main(cfg: Config) -> Optional[float]:
             train=False,
         )
         result = train_loop(
-            model.apply, variables, cfg, skeleton, train_loader, valid_loader,
+            apply_fn, variables, cfg, skeleton, train_loader, valid_loader,
             output_dir, rmcl=rmcl, logger=logger,
         )
         best_valid_mpjpe = result.best_mpjpe
@@ -193,7 +196,7 @@ def main(cfg: Config) -> Optional[float]:
 
     if cfg.run.test:
         run_test_protocol(
-            model.apply, variables, cfg, dataset_test, rmcl, output_dir,
+            apply_fn, variables, cfg, dataset_test, rmcl, output_dir,
             logger=logger,
         )
     return best_valid_mpjpe

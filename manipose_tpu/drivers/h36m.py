@@ -257,6 +257,10 @@ def main(cfg: Config) -> Optional[float]:
     subjects_train, subjects_val, subjects_test = subjects_split
 
     model, rmcl = instantiate_model(cfg, dataset.skeleton)
+    # parallel.pipe > 1 swaps in the GPipe-staged trunk apply
+    from ..parallel.flagship import maybe_pipelined_apply
+
+    apply_fn = maybe_pipelined_apply(model, cfg)
     if cfg.run.checkpoint_model:
         variables = load_torch_checkpoint(cfg.run.checkpoint_model, cfg.model.arch)
         variables = jax.tree_util.tree_map(jnp.asarray, variables)
@@ -281,7 +285,7 @@ def main(cfg: Config) -> Optional[float]:
             train=False,
         )
         result = train_loop(
-            model.apply,
+            apply_fn,
             variables,
             cfg,
             dataset.skeleton,
@@ -297,7 +301,7 @@ def main(cfg: Config) -> Optional[float]:
 
     if cfg.run.test:
         run_test_protocol(
-            model.apply,
+            apply_fn,
             variables,
             cfg,
             dataset,
@@ -311,6 +315,6 @@ def main(cfg: Config) -> Optional[float]:
     if cfg.run.viz:
         from ..viz.driver import render_from_config
 
-        render_from_config(cfg, model.apply, variables, dataset, keypoints, rmcl)
+        render_from_config(cfg, apply_fn, variables, dataset, keypoints, rmcl)
 
     return best_valid_mpjpe

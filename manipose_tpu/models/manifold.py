@@ -46,6 +46,7 @@ class ManifoldConfig:
     mup_base_width: int = 64
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    ring: Optional[object] = None  # RingSpec when attn_impl="ring"
     mlp_impl: str = "xla"
     remat: bool = False
     quant: bool = False
@@ -69,6 +70,7 @@ class ManifoldConfig:
             mup_base_width=self.mup_base_width,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            ring=self.ring,
             mlp_impl=self.mlp_impl,
             remat=self.remat,
             quant=self.quant,
@@ -95,6 +97,7 @@ class ManifoldConfig:
             mup_base_width=self.mup_base_width,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            ring=self.ring,
             mlp_impl=self.mlp_impl,
             remat=self.remat,
             quant=self.quant,

@@ -56,7 +56,11 @@ class MixSTEConfig:
     mup_base_width: int = 64
     # TPU policy knobs (no reference counterpart)
     dtype: jnp.dtype = jnp.float32
+    # "xla" | "pallas" | "pallas_temporal" | "ring" (sequence-parallel
+    # temporal attention over `ring`'s mesh axis; spatial stays on xla)
     attn_impl: str = "xla"
+    # static sharding plan for attn_impl="ring" (parallel.RingSpec)
+    ring: Optional[object] = None
     # "pallas": fuse fc1+GELU+fc2 in VMEM (ops/pallas_mlp.py) — wins at
     # the flagship shapes on TPU; "xla" elsewhere (tests, tiny models)
     mlp_impl: str = "xla"
@@ -183,6 +187,7 @@ class Attention(nn.Module):
     mup: bool = False
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    ring: Optional[object] = None  # RingSpec for attn_impl="ring"
     quant: bool = False
 
     @nn.compact
@@ -215,6 +220,7 @@ class Attention(nn.Module):
             dropout_rng=dropout_rng,
             deterministic=deterministic,
             impl=self.attn_impl,
+            ring=self.ring,
         )
         out = dense(self.dim, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
@@ -222,15 +228,20 @@ class Attention(nn.Module):
 
 
 class DropPath(nn.Module):
-    """Per-sample stochastic depth (timm semantics; train only)."""
+    """Per-sample stochastic depth (timm semantics; train only).
+
+    ``rate_override`` replaces the static attribute rate and may be a
+    traced scalar — the GPipe path (``parallel/flagship.py``) runs one
+    SPMD stage program whose per-pair rates arrive as stacked data."""
 
     rate: float
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        if deterministic or self.rate == 0.0:
+    def __call__(self, x, deterministic: bool = True, rate_override=None):
+        rate = self.rate if rate_override is None else rate_override
+        if deterministic or (isinstance(rate, float) and rate == 0.0):
             return x
-        keep_prob = 1.0 - self.rate
+        keep_prob = 1.0 - rate
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         keep = jax.random.bernoulli(rng, keep_prob, shape)
@@ -255,11 +266,14 @@ class Block(nn.Module):
     mup: bool = False
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    ring: Optional[object] = None
     mlp_impl: str = "xla"
     quant: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, drop_path_rate=None):
+        # drop_path_rate (possibly traced) overrides the static attribute
+        # — see DropPath; used by the GPipe stage program
         attn_out = Attention(
             dim=self.dim,
             num_heads=self.num_heads,
@@ -271,12 +285,13 @@ class Block(nn.Module):
             mup=self.mup,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            ring=self.ring,
             quant=self.quant,
             name="attn",
         )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x),
           deterministic)
         x = x * self.residual_scale + DropPath(self.drop_path, name="drop_path1")(
-            attn_out, deterministic
+            attn_out, deterministic, drop_path_rate
         )
         mlp_out = Mlp(
             hidden_features=int(self.dim * self.mlp_ratio),
@@ -289,7 +304,7 @@ class Block(nn.Module):
         )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x),
           deterministic)
         x = x * self.residual_scale + DropPath(self.drop_path, name="drop_path2")(
-            mlp_out, deterministic
+            mlp_out, deterministic, drop_path_rate
         )
         return x
 
@@ -331,10 +346,20 @@ class MixSTE(nn.Module):
         # "pallas_temporal": fused kernel only on the L-frame layout (the
         # HBM-heaviest attention); spatial stays on XLA — far fewer Mosaic
         # compiles than full-pallas for most of the benefit.
-        spatial_impl = "xla" if cfg.attn_impl == "pallas_temporal" else cfg.attn_impl
+        # "ring": sequence-parallel temporal attention over the RingSpec
+        # mesh axis; spatial (N=J, not sharded) stays on XLA.
+        spatial_impl = (
+            "xla"
+            if cfg.attn_impl in ("pallas_temporal", "ring")
+            else cfg.attn_impl
+        )
         temporal_impl = (
             "pallas" if cfg.attn_impl == "pallas_temporal" else cfg.attn_impl
         )
+        if cfg.attn_impl == "ring":
+            assert cfg.ring is not None, (
+                "attn_impl='ring' needs MixSTEConfig.ring (a RingSpec)"
+            )
         common = dict(
             dim=cfg.embed_dim,
             num_heads=cfg.num_heads,
@@ -359,6 +384,7 @@ class MixSTE(nn.Module):
         ]
         self.tte_blocks = [
             block_cls(drop_path=dpr[i], comb=False, attn_impl=temporal_impl,
+                      ring=cfg.ring if temporal_impl == "ring" else None,
                       name=f"tte_block_{i}", **common)
             for i in range(cfg.depth)
         ]

@@ -44,11 +44,32 @@ def multi_head_attention(
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     impl: str = "xla",
+    ring=None,  # RingSpec (parallel/ring_attention.py) when impl="ring"
 ) -> jnp.ndarray:
     """Scaled-dot-product attention over pre-split heads.
 
     Returns (B, N, h*d) merged-head output.
     """
+    if impl == "ring":
+        # sequence-parallel exact attention over a mesh axis (the SP/CP
+        # path; no reference counterpart — its temporal attention is
+        # dense single-device, ``mix_ste.py:255-282``). Like the Pallas
+        # kernel it carries no attention-probability dropout, which is 0
+        # in every reference config.
+        assert ring is not None, "impl='ring' needs a RingSpec"
+        assert not comb, "ring attention does not support comb mode"
+        assert deterministic or dropout_rate == 0.0, (
+            "ring attention does not implement attention-prob dropout"
+        )
+        from ..parallel.ring_attention import ring_attention
+
+        out = ring_attention(
+            q, k, v, scale, ring.mesh, axis=ring.axis,
+            batch_axis=ring.batch_axis,
+        )
+        b, h, n, d = out.shape
+        return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, h * d)
+
     # The fused kernel has a custom VJP, so it serves train + eval; it only
     # lacks attention-probability dropout (rate 0 in every reference config).
     if impl == "pallas" and not comb and (deterministic or dropout_rate == 0.0):

@@ -110,3 +110,52 @@ def quantize_params(variables: Dict) -> Dict:
     return jax.tree_util.tree_map(
         jnp.asarray, walk(jax.device_get(variables))
     )
+
+
+def int8_speedup(m: int = 8192, k: int = 512, n: int = 512,
+                 iters: int = 8) -> float:
+    """Measured int8/bf16 GEMM rate ratio at a trunk-like shape.
+
+    > 1 means int8 GEMMs are actually faster on this device. Nominal
+    TPU MXU peaks say 2x (v5e: 394 int8 TOPS vs 197 bf16 TFLOPS), but
+    the r2 measurement found this environment's tunnel slice executes
+    int8 at bf16 rates (25.9 vs 28.9 at the trunk shape, BASELINE.md) —
+    so serving GATES on this probe instead of trusting the spec sheet
+    (VERDICT r2 #7). Completion is forced through a float() reduction
+    chain (the backend's only reliable barrier, CLAUDE.md).
+    """
+    import time
+
+    rng = np.random.default_rng(0)
+    x8 = jnp.asarray(rng.integers(-127, 128, size=(m, k)), jnp.int8)
+    w8 = jnp.asarray(rng.integers(-127, 128, size=(k, n)), jnp.int8)
+    xb = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
+    wb = jnp.asarray(rng.normal(size=(k, n)), jnp.bfloat16)
+
+    f8 = jax.jit(
+        lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    )
+    fb = jax.jit(lambda a, b: a @ b)
+
+    def rate(f, a, b, acc_dtype):
+        _ = float(jnp.sum(f(a, b).astype(jnp.float32)))  # warm/compile
+        t0 = time.perf_counter()
+        s = jnp.zeros((), jnp.float32)
+        for _ in range(iters):
+            # the running sum chains the dispatches so the final float()
+            # forces every GEMM, not just the last
+            s = s + jnp.sum(f(a, b).astype(jnp.float32))
+        _ = float(s)
+        return iters / (time.perf_counter() - t0)
+
+    # throwaway round first: the first timed window after a remote
+    # compile reads up to ~10x slow (cache-write side effects on the
+    # tunnel backend) — measured 0.08 then 1.0 for the same ratio
+    rate(f8, x8, w8, jnp.int32)
+    rate(fb, xb, wb, jnp.bfloat16)
+    r8 = rate(f8, x8, w8, jnp.int32)
+    rb = rate(fb, xb, wb, jnp.bfloat16)
+    return r8 / rb

@@ -1,4 +1,4 @@
-from .ring_attention import ring_attention
+from .ring_attention import RingSpec, ring_attention
 from .pipeline import pipeline_apply, stack_stage_params
 from .multihost import (
     global_batch,
@@ -28,5 +28,6 @@ __all__ = [
     "shard_batch",
     "shard_params",
     "stack_stage_params",
+    "RingSpec",
     "ring_attention",
 ]

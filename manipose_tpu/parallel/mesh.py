@@ -24,17 +24,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    data: int, model: int = 1, devices: Optional[list] = None
+    data: int, model: int = 1, pipe: int = 1,
+    devices: Optional[list] = None,
 ) -> Mesh:
+    """dp x tp mesh ("data", "model"), or dp x pp ("data", "pipe") when
+    ``pipe`` > 1 (GPipe stages live one-per-device along 'pipe';
+    composing TP and PP in one mesh is not supported)."""
     devices = devices if devices is not None else jax.devices()
-    assert data * model <= len(devices), (
-        f"mesh {data}x{model} needs {data * model} devices, "
+    assert not (model > 1 and pipe > 1), (
+        "tensor and pipeline parallelism cannot share a mesh "
+        f"(model={model}, pipe={pipe})"
+    )
+    second = max(model, pipe)
+    assert data * second <= len(devices), (
+        f"mesh {data}x{second} needs {data * second} devices, "
         f"have {len(devices)}"
     )
     mesh_devices = mesh_utils.create_device_mesh(
-        (data, model), devices=devices[: data * model]
+        (data, second), devices=devices[: data * second]
     )
-    return Mesh(mesh_devices, axis_names=("data", "model"))
+    axis = "pipe" if pipe > 1 else "model"
+    return Mesh(mesh_devices, axis_names=("data", axis))
 
 
 # param-path regex -> PartitionSpec (Megatron TP on the trunk matmuls)
@@ -55,7 +65,7 @@ def param_spec(path: str) -> P:
     return P()  # replicated
 
 
-def fsdp_param_spec(path: str, shape, data_size: int) -> P:
+def fsdp_param_spec(path: str, shape, data_size: int, use_tp: bool = True) -> P:
     """ZeRO-3-style spec: on top of the TP rules, shard the largest
     still-free axis divisible by the ``data`` mesh size over ``data``.
 
@@ -64,8 +74,12 @@ def fsdp_param_spec(path: str, shape, data_size: int) -> P:
     pattern automatically — per-device param+optimizer memory drops by
     ~the data-axis size, which is what makes >1B-param variants of this
     trunk trainable on a pod slice.
+
+    ``use_tp=False`` skips the Megatron rules (ZeRO-3 over ``data``
+    only) — used when the 'model' mesh axis is repurposed for ring
+    sequence parallelism and must not also shard the matmuls.
     """
-    spec = list(param_spec(path))
+    spec = list(param_spec(path)) if use_tp else []
     spec += [None] * (len(shape) - len(spec))
     if data_size > 1 and len(shape) >= 1:
         order = sorted(range(len(shape)), key=lambda i: -shape[i])
@@ -81,17 +95,25 @@ def fsdp_param_spec(path: str, shape, data_size: int) -> P:
 def shard_params(params, mesh: Mesh, mode: str = "tp"):
     """Place a param pytree on the mesh.
 
-    mode="tp"   — Megatron TP rules on the trunk matmuls, rest replicated
-    mode="fsdp" — TP rules + largest free axis sharded over ``data``
-                  (fully-sharded data parallelism / ZeRO-3)
+    mode="tp"      — Megatron TP rules on the trunk matmuls, rest replicated
+    mode="fsdp"    — TP rules + largest free axis sharded over ``data``
+                     (fully-sharded data parallelism / ZeRO-3)
+    mode="dp"      — everything replicated (pure data parallelism; the
+                     layout when the 'model' axis carries ring sequence
+                     parallelism instead of TP)
+    mode="fsdp_dp" — ZeRO-3 over ``data`` only, no TP rules (fsdp + ring)
     """
-    assert mode in ("tp", "fsdp"), mode
+    assert mode in ("tp", "fsdp", "dp", "fsdp_dp"), mode
     data_size = mesh.shape.get("data", 1)
 
     def place(path, x):
         p = jax.tree_util.keystr(path, simple=True, separator="/")
-        if mode == "fsdp":
-            spec = fsdp_param_spec(p, np.shape(x), data_size)
+        if mode.startswith("fsdp"):
+            spec = fsdp_param_spec(
+                p, np.shape(x), data_size, use_tp=(mode == "fsdp")
+            )
+        elif mode == "dp":
+            spec = P()
         else:
             spec = param_spec(p)
         if np.ndim(x) < len([a for a in spec if a is not None]):

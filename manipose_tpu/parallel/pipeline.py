@@ -39,7 +39,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _pipeline_local(stacked_params, x, *, stage_fn, axis_name: str,
-                    microbatches: int):
+                    microbatches: int, pass_tick: bool = False):
     """Per-device body. ``stacked_params`` leaves: (1, ...) — this
     device's stage slice; ``x``: the full (replicated) batch."""
     s = jax.lax.axis_index(axis_name)
@@ -62,7 +62,7 @@ def _pipeline_local(stacked_params, x, *, stage_fn, axis_name: str,
         # stage 0 feeds microbatch t (recomputes the last one during the
         # drain ticks — gated out below, pure bubble waste)
         inp = jnp.where(s == 0, xs[jnp.clip(t, 0, m - 1)], state)
-        y = stage_fn(params, inp)
+        y = stage_fn(params, inp, t) if pass_tick else stage_fn(params, inp)
         # the last stage emits microbatch t-(S-1)
         m_out = t - (n_stages - 1)
         valid = (s == n_stages - 1) & (m_out >= 0)
@@ -87,10 +87,13 @@ def pipeline_apply(
     axis: str = "pipe",
     microbatches: int = 8,
     data_axis: str = None,
+    pass_tick: bool = False,
 ) -> jnp.ndarray:
     """Apply S sequential stages as a GPipe pipeline over ``axis``.
 
-    stage_fn(params, x_mb) -> y_mb applies ONE stage to one microbatch;
+    stage_fn(params, x_mb) -> y_mb applies ONE stage to one microbatch
+    (``pass_tick=True`` calls stage_fn(params, x_mb, t) with the traced
+    schedule tick — e.g. to fold the microbatch index into RNG keys);
     activations must keep a fixed shape across stages (true for any
     transformer trunk). ``stacked_params``: pytree whose leaves are the
     per-stage params stacked on a new leading axis of size S =
@@ -121,6 +124,7 @@ def pipeline_apply(
             stage_fn=stage_fn,
             axis_name=axis,
             microbatches=microbatches,
+            pass_tick=pass_tick,
         ),
         mesh=mesh,
         in_specs=(param_specs, batch_spec),

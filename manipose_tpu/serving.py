@@ -34,9 +34,17 @@ class Predictor:
       batch_size: static windows-per-call (padded; no recompiles).
       tta: average with the flipped input (``eval_utils.py:78-142``).
       quantize: serve with int8 weight+activation trunk matmuls
-        (``ops/quant.py``; TPU MXUs run int8 at 2x the bf16 rate).
-        Float ``variables`` are quantized on construction.
+        (``ops/quant.py``; TPU MXUs nominally run int8 at 2x the bf16
+        rate). ``True`` first MICROPROBES the actual int8-vs-bf16 GEMM
+        rate on this device and falls back to float (with a warning)
+        when int8 is not measurably faster — some deployments execute
+        int8 at bf16 rates, where quantizing would silently REGRESS
+        throughput (BASELINE.md r2). ``"force"`` skips the probe.
+        Float ``variables`` are quantized on construction; check
+        ``self.quantized`` for the effective mode.
     """
+
+    _int8_probe_cache: Optional[float] = None  # once per process
 
     def __init__(
         self,
@@ -58,13 +66,29 @@ class Predictor:
         self.seq_len = cfg.data.seq_len
         self.batch_size = batch_size
         self.tta = tta
-        self.quantized = quantize
         self.model, self.rmcl = instantiate_model(cfg, skeleton)
         self.variables = (
             variables
             if variables is not None
             else init_model_params(self.model, cfg, skeleton.num_joints)
         )
+        if quantize and quantize != "force":
+            from .ops.quant import int8_speedup
+
+            if Predictor._int8_probe_cache is None:
+                Predictor._int8_probe_cache = float(int8_speedup())
+            ratio = Predictor._int8_probe_cache
+            if ratio < 1.05:  # not faster beyond measurement noise
+                import warnings
+
+                warnings.warn(
+                    f"int8 GEMMs are not faster than bf16 on this device "
+                    f"(measured ratio {ratio:.2f}); serving stays on the "
+                    f"float path. Pass quantize='force' to override.",
+                    stacklevel=2,
+                )
+                quantize = False
+        self.quantized = bool(quantize)
         if quantize:
             from .ops.quant import quantize_params
 

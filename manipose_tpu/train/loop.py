@@ -87,12 +87,13 @@ def train(
     mesh = None
     shard_batch = None
     pcfg = cfg.get("parallel") or {}
-    if int(pcfg.get("data", 1)) * int(pcfg.get("model", 1)) > 1:
+    n_data = int(pcfg.get("data", 1))
+    n_model = int(pcfg.get("model", 1))
+    n_pipe = int(pcfg.get("pipe", 1))
+    if n_data * n_model * n_pipe > 1:
         from ..parallel import make_mesh, shard_batch, shard_params
 
-        mesh = make_mesh(
-            data=int(pcfg.get("data", 1)), model=int(pcfg.get("model", 1))
-        )
+        mesh = make_mesh(data=n_data, model=n_model, pipe=n_pipe)
         # every batch that reaches _place (train AND validation/eval)
         # must split evenly over the data axis
         for name, bs in (
@@ -104,9 +105,15 @@ def train(
                 f"{name}={bs} must divide over the data mesh axis "
                 f"({mesh.shape['data']})"
             )
-        params = shard_params(params, mesh, mode=pcfg.get("mode", "tp"))
-        print(f"==> Training on mesh {dict(mesh.shape)}, "
-              f"mode={pcfg.get('mode', 'tp')}")
+        mode = pcfg.get("mode", "tp")
+        if cfg.model.get("attn_impl", "xla") == "ring" or n_pipe > 1:
+            # ring repurposes the 'model' axis for the SEQUENCE and the
+            # pipe mesh has no 'model' axis at all — either way the TP
+            # matmul rules must not apply; params stay whole (dp) or
+            # ZeRO-3-shard over 'data' only
+            mode = {"tp": "dp", "fsdp": "fsdp_dp"}.get(mode, mode)
+        params = shard_params(params, mesh, mode=mode)
+        print(f"==> Training on mesh {dict(mesh.shape)}, mode={mode}")
 
     def _place(*arrays):
         if mesh is not None:

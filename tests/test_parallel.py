@@ -267,10 +267,86 @@ class TestRingAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        atol=5e-6, err_msg=f"d{name}")
 
-    def test_rejects_indivisible_sequence(self):
+    @pytest.mark.parametrize("ring,n", [(4, 10), (8, 243)])
+    def test_indivisible_sequence_pads_and_matches(self, ring, n):
+        """Sequence lengths that don't divide the ring size are padded
+        with masked keys — incl. the flagship L=243 on an 8-way ring
+        (n=10, ring=8 additionally covers whole blocks of pure pad)."""
         from manipose_tpu.parallel import make_mesh, ring_attention
 
+        mesh = make_mesh(data=8 // ring, model=ring)
+        rng = np.random.default_rng(3)
+        b, h, d = 2, 2, 8
+        q, k, v = [
+            jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+            for _ in range(3)
+        ]
+        scale = d ** -0.5
+        out = ring_attention(q, k, v, scale, mesh, axis="model")
+        ref = self._dense(q, k, v, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-6)
+
+    def test_flagship_shape_grads_match_dense(self):
+        """VERDICT r2 #6: L=243 sharded 8-ways at d=64/heads=8 —
+        fwd + q/k/v grad parity vs dense at the real temporal-attention
+        shape (the folded batch rides the 'data'=1 axis)."""
+        from manipose_tpu.parallel import make_mesh, ring_attention
+
+        mesh = make_mesh(data=1, model=8)
+        rng = np.random.default_rng(4)
+        b, h, n, d = 2, 8, 243, 64
+        q, k, v = [
+            jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+            for _ in range(3)
+        ]
+        scale = d ** -0.5
+
+        def loss_ring(q, k, v):
+            return jnp.sum(
+                ring_attention(q, k, v, scale, mesh, "model") ** 2
+            )
+
+        def loss_dense(q, k, v):
+            return jnp.sum(self._dense(q, k, v, scale) ** 2)
+
+        out = ring_attention(q, k, v, scale, mesh, "model")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(self._dense(q, k, v, scale)),
+            atol=5e-6,
+        )
+        g1 = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, b_, name in zip(g1, g2, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-5, err_msg=f"d{name}")
+
+    def test_flagship_model_ring_matches_xla(self):
+        """model.attn_impl=ring end-to-end: the full rMCL flagship
+        forward on a dp x ring mesh matches the single-device xla path."""
+        import dataclasses
+
+        from manipose_tpu.parallel import RingSpec, make_mesh
+
         mesh = make_mesh(data=2, model=4)
-        q = jnp.zeros((1, 1, 10, 8))
-        with pytest.raises(AssertionError, match="not divisible"):
-            ring_attention(q, q, q, 1.0, mesh, axis="model")
+        rcfg = dataclasses.replace(
+            CFG,
+            attn_impl="ring",
+            ring=RingSpec(mesh=mesh, axis="model", batch_axis="data"),
+        )
+        m_xla = RMCLManifoldMixSTE(CFG, SKEL)
+        m_ring = RMCLManifoldMixSTE(rcfg, SKEL)
+        x, _ = _data(4)
+        params = m_xla.init(jax.random.PRNGKey(0), x[:1])
+        p1, s1 = m_xla.apply(params, x)
+        with mesh:
+            (xs,) = shard_batch((x,), mesh)
+            p2, s2 = jax.jit(
+                lambda p, x: m_ring.apply(p, x, deterministic=True)
+            )(params, xs)
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(s2), atol=1e-5
+        )

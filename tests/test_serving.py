@@ -111,7 +111,7 @@ class TestInt8Serving:
 
         loaded = Predictor.from_checkpoint(
             tmp_path, tag="best_val", cfg=cfg, batch_size=2, tta=False,
-            quantize=True,
+            quantize="force",
         )
         assert loaded.quantized
         rng = np.random.default_rng(5)
@@ -169,7 +169,7 @@ class TestInt8Serving:
             "multi_hyp.n_hyp=2", "model.drop_path_rate=0.0",
         ])
         fp = Predictor(cfg=cfg, batch_size=2, tta=True)
-        q = Predictor(cfg=cfg, batch_size=2, tta=True, quantize=True,
+        q = Predictor(cfg=cfg, batch_size=2, tta=True, quantize="force",
                       variables=fp.variables)
         kps = np.random.default_rng(0).normal(
             size=(20, 17, 2)
@@ -184,3 +184,69 @@ class TestInt8Serving:
         # quantized predictions stay close to the float ones
         rel = np.linalg.norm(p_q - p_fp) / (np.linalg.norm(p_fp) + 1e-9)
         assert rel < 0.2, rel
+
+
+class TestInt8Gating:
+    """VERDICT r2 #7: quantize=True microprobes the device's actual
+    int8-vs-bf16 GEMM rate and falls back (with a warning) when int8
+    would regress throughput."""
+
+    def _cfg(self):
+        return load_config("config", overrides=OVERRIDES)
+
+    def test_falls_back_when_int8_not_faster(self, monkeypatch):
+        import warnings
+
+        from manipose_tpu.ops import quant
+
+        Predictor._int8_probe_cache = None
+        monkeypatch.setattr(quant, "int8_speedup", lambda **kw: 0.95)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            p = Predictor(cfg=self._cfg(), batch_size=2, tta=False,
+                          quantize=True)
+        assert not p.quantized
+        assert any("not faster" in str(w.message) for w in caught)
+        # the float path still serves
+        video = np.zeros((9, 17, 2), np.float32)
+        assert p.predict_video(video).shape == (9, 17, 3)
+        Predictor._int8_probe_cache = None
+
+    def test_quantizes_when_int8_wins(self, monkeypatch):
+        from manipose_tpu.ops import quant
+
+        Predictor._int8_probe_cache = None
+        monkeypatch.setattr(quant, "int8_speedup", lambda **kw: 1.8)
+        p = Predictor(cfg=self._cfg(), batch_size=2, tta=False,
+                      quantize=True)
+        assert p.quantized
+        Predictor._int8_probe_cache = None
+
+    def test_force_skips_probe(self, monkeypatch):
+        from manipose_tpu.ops import quant
+
+        Predictor._int8_probe_cache = None
+
+        def boom(**kw):
+            raise AssertionError("probe must not run under force")
+
+        monkeypatch.setattr(quant, "int8_speedup", boom)
+        p = Predictor(cfg=self._cfg(), batch_size=2, tta=False,
+                      quantize="force")
+        assert p.quantized
+
+    def test_probe_runs_once_per_process(self, monkeypatch):
+        from manipose_tpu.ops import quant
+
+        Predictor._int8_probe_cache = None
+        calls = []
+
+        def probe(**kw):
+            calls.append(1)
+            return 1.8
+
+        monkeypatch.setattr(quant, "int8_speedup", probe)
+        Predictor(cfg=self._cfg(), batch_size=2, tta=False, quantize=True)
+        Predictor(cfg=self._cfg(), batch_size=2, tta=False, quantize=True)
+        assert len(calls) == 1
+        Predictor._int8_probe_cache = None
