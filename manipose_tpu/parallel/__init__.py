@@ -1,6 +1,7 @@
 from .ring_attention import RingSpec, ring_attention
 from .pipeline import pipeline_apply, stack_stage_params
 from .multihost import (
+    barrier,
     global_batch,
     is_primary,
     make_hybrid_mesh,
@@ -16,6 +17,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "barrier",
     "fsdp_param_spec",
     "global_batch",
     "initialize_multihost",

@@ -119,10 +119,20 @@ def make_hybrid_mesh(data: int, model: int = 1) -> Mesh:
         f"per-host mesh {per_host}x{model} must use exactly the "
         f"{per_host_devices} local devices of each host"
     )
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(per_host, model),
-        dcn_mesh_shape=(n_proc, 1),
+    n_slices = len(
+        {getattr(d, "slice_index", 0) for d in jax.devices()}
     )
+    if n_slices == n_proc:
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(per_host, model),
+            dcn_mesh_shape=(n_proc, 1),
+        )
+    else:
+        # backends without slice metadata (e.g. multi-process CPU over
+        # gloo): group by process — one "slice" per process is exactly
+        # the DCN-outer layout create_hybrid_device_mesh would build
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        devices = np.array(devs).reshape(n_proc, per_host, model)
     return Mesh(devices.reshape(data, model), axis_names=("data", "model"))
 
 
@@ -148,3 +158,18 @@ def global_batch(local_arrays: Sequence[np.ndarray], mesh: Mesh):
 def is_primary() -> bool:
     """True on the process that should write checkpoints/logs."""
     return jax.process_index() == 0
+
+
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Align all processes at a named point via the coordination service
+    (no device collectives involved). No-op single-process.
+
+    Use before the first collective-bearing execution after a long
+    uncoordinated stretch (e.g. eager compiles): gloo/ICI context
+    initialization gives peers only ~30s to show up, while compile skew
+    between processes can be minutes."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(name, timeout_ms)
