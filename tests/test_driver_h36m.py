@@ -186,6 +186,62 @@ class TestH36MDriver:
         assert len(losses) == 1
 
 
+def test_resume_equivalence(synthetic_h36m, tmp_path):
+    """Mid-run resume continues EQUIVALENTLY to an uninterrupted run
+    (VERDICT r2 #3): 2 straight epochs vs 1 epoch + resume-for-1 give
+    the same epoch-2 training loss and the same final parameters.
+    Exactness is by design: the loader draws per-epoch streams from
+    ``SeedSequence([seed, epoch])`` (history-independent,
+    ``data/pipeline.py``) and the dropout PRNGKey lives in the
+    checkpointed ``TrainState.rng`` — the reference cannot make this
+    guarantee (its resume skips restoring the DataLoader RNG,
+    ``main_h36m_lifting.py:225-241``)."""
+    import orbax.checkpoint as ocp
+
+    from manipose_tpu.drivers.h36m import main
+
+    base = ("run.test=false", "train.epochs=2")
+    main(_cfg(synthetic_h36m, tmp_path / "straight", extra=base))
+
+    main(
+        _cfg(
+            synthetic_h36m,
+            tmp_path / "part1",
+            extra=("run.test=false", "train.epochs=1"),
+        )
+    )
+    main(
+        _cfg(
+            synthetic_h36m,
+            tmp_path / "part2",
+            extra=base
+            + (f"run.checkpoint_params={tmp_path / 'part1' / 'default'}",),
+        )
+    )
+
+    loss_a = np.load(tmp_path / "straight" / "default" / "train_loss.npy")
+    loss_b = np.load(tmp_path / "part2" / "default" / "train_loss.npy")
+    assert len(loss_a) == 2 and len(loss_b) == 1
+    np.testing.assert_allclose(loss_b[0], loss_a[1], rtol=1e-6)
+
+    with ocp.StandardCheckpointer() as ckptr:
+        end_a = ckptr.restore(
+            (tmp_path / "straight" / "default" / "end").resolve()
+        )
+        end_b = ckptr.restore(
+            (tmp_path / "part2" / "default" / "end").resolve()
+        )
+    import jax
+
+    flat_a = jax.tree_util.tree_leaves(end_a)
+    flat_b = jax.tree_util.tree_leaves(end_b)
+    assert len(flat_a) == len(flat_b) > 0
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(xa), np.asarray(xb), rtol=2e-5, atol=2e-6
+        )
+
+
 def test_no_validation_epoch_returns_final_params(synthetic_h36m, tmp_path):
     """epochs < valid/mpjpe intervals: train() must fall back to the
     FINAL params (not silently return the initial weights) and the test
@@ -227,6 +283,46 @@ def test_debug_run_on_mesh(synthetic_h36m, tmp_path):
     result = main(cfg)
     assert result is not None and np.isfinite(result)
     assert (tmp_path / "out_mesh" / "default" / "protocol_1_err.csv").exists()
+
+
+def test_hypotheses_on_manifold_by_construction(synthetic_h36m, tmp_path):
+    """The paper's structural claim (VERDICT r2 #3): every emitted
+    hypothesis lies on the constant-bone-length manifold — per-window
+    MPSCE (segment-length std over time) is ~0 even UNTRAINED, because
+    the segments branch predicts one length set per sequence and FK
+    decodes through it (``manifold_mix_ste.py:152-153``). TTA off: the
+    flip-average of two manifold poses is a convex combination and
+    leaves the manifold, which is also why the protocol's concatenated
+    MPSCE is only near-zero."""
+    cfg = _cfg(
+        synthetic_h36m,
+        tmp_path / "out_manifold",
+        extra=("run.train=false", "train.tta=false"),
+    )
+    from manipose_tpu.drivers.h36m import main
+    from manipose_tpu.geometry import h36m_skeleton_17
+    from manipose_tpu.metrics import segments_time_consistency
+
+    main(cfg)
+    with open(
+        tmp_path / "out_manifold" / "default" / "all_pred_hyps.pkl", "rb"
+    ) as f:
+        all_hyps = pickle.load(f)
+    assert all_hyps, "rMCL test protocol must dump hypotheses"
+    import jax.numpy as jnp
+
+    for hyps, _targets in all_hyps:
+        # (N, H, L, J, 4): poses (mm) + the broadcast score channel
+        # (``concat_hyp_and_scores``, rmcl.py)
+        n, h, l, j, c = hyps.shape
+        assert c == 4
+        flat = jnp.asarray(hyps[..., :3].reshape(n * h, l, j, 3))
+        mpsce = float(
+            segments_time_consistency(
+                flat, h36m_skeleton_17(), mode="std"
+            )
+        )
+        assert mpsce < 1e-2, f"hypotheses left the manifold: {mpsce} mm"
 
 
 def test_debug_run_on_pipe_mesh(synthetic_h36m, tmp_path):
