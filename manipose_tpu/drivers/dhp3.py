@@ -151,6 +151,9 @@ def run_test_protocol(
 
 
 def main(cfg: Config) -> Optional[float]:
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     print("==> Using settings:")
     print(cfg.to_yaml())
     assert cfg.data.dataset == "3dhp", (

@@ -246,6 +246,9 @@ def run_test_protocol(
 
 def main(cfg: Config) -> Optional[float]:
     """Full driver (``main_h36m_lifting.py:711-1266``)."""
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     print("==> Using settings:")
     print(cfg.to_yaml())
 
