@@ -35,6 +35,7 @@ def instantiate_model(cfg: Config, skeleton: Skeleton, quant: bool = False):
     dtype = _DTYPES[m.get("dtype", "float32")]
     attn_impl = m.get("attn_impl", "xla")
     mlp_impl = m.get("mlp_impl", "xla")
+    layout = m.get("layout", "fold")
     ring = None
     if attn_impl == "ring":
         # sequence-parallel temporal attention: the frame axis shards
@@ -68,6 +69,7 @@ def instantiate_model(cfg: Config, skeleton: Skeleton, quant: bool = False):
                 attn_impl=attn_impl,
                 ring=ring,
                 mlp_impl=mlp_impl,
+                layout=layout,
                 quant=quant,
             )
         )
@@ -91,6 +93,7 @@ def instantiate_model(cfg: Config, skeleton: Skeleton, quant: bool = False):
         attn_impl=attn_impl,
         ring=ring,
         mlp_impl=mlp_impl,
+        layout=layout,
         quant=quant,
     )
     if m.arch == "manifold":

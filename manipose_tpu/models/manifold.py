@@ -48,6 +48,7 @@ class ManifoldConfig:
     attn_impl: str = "xla"
     ring: Optional[object] = None  # RingSpec when attn_impl="ring"
     mlp_impl: str = "xla"
+    layout: str = "fold"  # "joint_major": transpose-free residual stream
     remat: bool = False
     quant: bool = False
 
@@ -72,6 +73,7 @@ class ManifoldConfig:
             attn_impl=self.attn_impl,
             ring=self.ring,
             mlp_impl=self.mlp_impl,
+            layout=self.layout,
             remat=self.remat,
             quant=self.quant,
         )
@@ -99,6 +101,7 @@ class ManifoldConfig:
             attn_impl=self.attn_impl,
             ring=self.ring,
             mlp_impl=self.mlp_impl,
+            layout=self.layout,
             remat=self.remat,
             quant=self.quant,
         )

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.attention import multi_head_attention
+from ..ops.attention import joint_major_attention, multi_head_attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +59,17 @@ class MixSTEConfig:
     # "xla" | "pallas" | "pallas_temporal" | "ring" (sequence-parallel
     # temporal attention over `ring`'s mesh axis; spatial stays on xla)
     attn_impl: str = "xla"
+    # residual-stream layout:
+    #   "fold"        — reference-shaped: spatial blocks fold (B*L, J, C),
+    #                   temporal blocks transpose+fold (B*J, L, C) — 2
+    #                   physical transposes per layer pair;
+    #   "joint_major" — one persistent (B, J, L, C) stream: temporal
+    #                   blocks fold contiguously (reshape only), spatial
+    #                   attention runs as a multi-batch-dim einsum over
+    #                   the J axis (ops/attention.joint_major_attention).
+    #                   Same math (parity-tested), ~6% faster fwd+bwd at
+    #                   the flagship shape on TPU (r3 layout study).
+    layout: str = "fold"
     # static sharding plan for attn_impl="ring" (parallel.RingSpec)
     ring: Optional[object] = None
     # "pallas": fuse fc1+GELU+fc2 in VMEM (ops/pallas_mlp.py) — wins at
@@ -192,7 +203,6 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        b, n, c = x.shape
         head_dim = self.dim // self.num_heads
         # muP scale is 1/d (``mix_ste.py:243``); the 8/d ``MuAttention``
         # (``mix_ste.py:371-398``) is dead code never wired into Block.
@@ -203,25 +213,46 @@ class Attention(nn.Module):
         qkv = dense(
             self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
         )(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, h, N, d)
-        q, k, v = qkv[0], qkv[1], qkv[2]
 
         dropout_rng = None
         if not deterministic and self.attn_drop > 0.0:
             dropout_rng = self.make_rng("dropout")
-        out = multi_head_attention(
-            q,
-            k,
-            v,
-            scale,
-            comb=self.comb,
-            dropout_rate=self.attn_drop,
-            dropout_rng=dropout_rng,
-            deterministic=deterministic,
-            impl=self.attn_impl,
-            ring=self.ring,
-        )
+
+        if x.ndim == 4:
+            # joint-major layout: x is (B, J, L, C), attention over J
+            # with (B, L, h) batch dims — no physical transpose of the
+            # residual stream (see MixSTEConfig.layout)
+            assert not self.comb and self.attn_impl in ("xla", "xla_direct"), (
+                "4D joint-major attention supports only the XLA einsum path"
+            )
+            b, j, l, _ = x.shape
+            qkv = qkv.reshape(b, j, l, 3, self.num_heads, head_dim)
+            q = qkv[..., 0, :, :]
+            k = qkv[..., 1, :, :]
+            v = qkv[..., 2, :, :]
+            out = joint_major_attention(
+                q, k, v, scale,
+                dropout_rate=self.attn_drop,
+                dropout_rng=dropout_rng,
+                deterministic=deterministic,
+            )
+        else:
+            b, n, c = x.shape
+            qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+            qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, h, N, d)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            out = multi_head_attention(
+                q,
+                k,
+                v,
+                scale,
+                comb=self.comb,
+                dropout_rate=self.attn_drop,
+                dropout_rng=dropout_rng,
+                deterministic=deterministic,
+                impl=self.attn_impl,
+                ring=self.ring,
+            )
         out = dense(self.dim, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
@@ -232,9 +263,16 @@ class DropPath(nn.Module):
 
     ``rate_override`` replaces the static attribute rate and may be a
     traced scalar — the GPipe path (``parallel/flagship.py``) runs one
-    SPMD stage program whose per-pair rates arrive as stacked data."""
+    SPMD stage program whose per-pair rates arrive as stacked data.
+
+    ``keep_axes`` lists the axes the mask varies over (all others
+    broadcast). The timm/reference semantics mask per row of the folded
+    batch — e.g. per (b*l) row for spatial blocks on (B*L, J, C) — so a
+    joint-major spatial block on (B, J, L, C) uses keep_axes=(0, 2) to
+    reproduce exactly that per-(b, l) granularity."""
 
     rate: float
+    keep_axes: tuple = (0,)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, rate_override=None):
@@ -243,7 +281,9 @@ class DropPath(nn.Module):
             return x
         keep_prob = 1.0 - rate
         rng = self.make_rng("dropout")
-        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        shape = tuple(
+            x.shape[i] if i in self.keep_axes else 1 for i in range(x.ndim)
+        )
         keep = jax.random.bernoulli(rng, keep_prob, shape)
         return jnp.where(keep, x / keep_prob, 0.0)
 
@@ -269,6 +309,10 @@ class Block(nn.Module):
     ring: Optional[object] = None
     mlp_impl: str = "xla"
     quant: bool = False
+    # DropPath mask granularity — (0,) masks per folded-batch row (the
+    # 3D layouts); joint-major 4D spatial blocks pass (0, 2) to keep the
+    # reference's per-(b, l) semantics (see DropPath)
+    drop_path_keep_axes: tuple = (0,)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, drop_path_rate=None):
@@ -290,9 +334,9 @@ class Block(nn.Module):
             name="attn",
         )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x),
           deterministic)
-        x = x * self.residual_scale + DropPath(self.drop_path, name="drop_path1")(
-            attn_out, deterministic, drop_path_rate
-        )
+        x = x * self.residual_scale + DropPath(
+            self.drop_path, self.drop_path_keep_axes, name="drop_path1"
+        )(attn_out, deterministic, drop_path_rate)
         mlp_out = Mlp(
             hidden_features=int(self.dim * self.mlp_ratio),
             out_features=self.dim,
@@ -303,9 +347,9 @@ class Block(nn.Module):
             name="mlp",
         )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x),
           deterministic)
-        x = x * self.residual_scale + DropPath(self.drop_path, name="drop_path2")(
-            mlp_out, deterministic, drop_path_rate
-        )
+        x = x * self.residual_scale + DropPath(
+            self.drop_path, self.drop_path_keep_axes, name="drop_path2"
+        )(mlp_out, deterministic, drop_path_rate)
         return x
 
 
@@ -360,6 +404,14 @@ class MixSTE(nn.Module):
             assert cfg.ring is not None, (
                 "attn_impl='ring' needs MixSTEConfig.ring (a RingSpec)"
             )
+        if cfg.layout == "joint_major":
+            assert spatial_impl in ("xla", "xla_direct"), (
+                "layout='joint_major' runs spatial attention as a 4D XLA "
+                f"einsum; attn_impl={cfg.attn_impl!r} is fold-layout only "
+                "(use attn_impl='pallas_temporal' or 'ring' to combine a "
+                "non-XLA temporal path with joint_major)"
+            )
+        spatial_keep_axes = (0, 2) if cfg.layout == "joint_major" else (0,)
         common = dict(
             dim=cfg.embed_dim,
             num_heads=cfg.num_heads,
@@ -379,6 +431,7 @@ class MixSTE(nn.Module):
         block_cls = nn.remat(Block, static_argnums=(2,)) if cfg.remat else Block
         self.ste_blocks = [
             block_cls(drop_path=dpr[i], comb=False, attn_impl=spatial_impl,
+                      drop_path_keep_axes=spatial_keep_axes,
                       name=f"ste_block_{i}", **common)
             for i in range(cfg.depth)
         ]
@@ -417,6 +470,29 @@ class MixSTE(nn.Module):
         x = self.temporal_norm(x)
         return jnp.transpose(x.reshape(b, j, l, c), (0, 2, 1, 3))
 
+    def _temporal_jm(self, x, i, deterministic):
+        """One temporal block on joint-major (B, J, L, C): the fold to
+        (B*J, L, C) is a contiguous reshape — no physical transpose."""
+        b, j, l, c = x.shape
+        z = self.tte_blocks[i](x.reshape(b * j, l, c), deterministic)
+        return self.temporal_norm(z).reshape(b, j, l, c)
+
+    def _trunk_joint_major(self, x, deterministic):
+        """Joint-major trunk body: one transpose in, one out; every
+        layer in between runs on a persistent (B, J, L, C) stream (the
+        layer ordering and norm placement mirror the fold path /
+        ``mix_ste.py:128-173`` exactly)."""
+        cfg = self.cfg
+        x = jnp.transpose(x, (0, 2, 1, 3))  # (B, J, L, C)
+        x = self.spatial_norm(self.ste_blocks[0](x, deterministic))
+        x = x + self.temporal_pos_embed.astype(cfg.dtype)
+        x = self.pos_drop(x, deterministic)
+        x = self._temporal_jm(x, 0, deterministic)
+        for i in range(1, cfg.depth):
+            x = self.spatial_norm(self.ste_blocks[i](x, deterministic))
+            x = self._temporal_jm(x, i, deterministic)
+        return jnp.transpose(x, (0, 2, 1, 3))
+
     def trunk(self, x, deterministic: bool = True):
         """(B, L, J, C_in) -> (B, L, J, embed_dim) features."""
         cfg = self.cfg
@@ -432,6 +508,8 @@ class MixSTE(nn.Module):
         # the whole residual stream to fp32 under bf16 policy.
         x = x + self.spatial_pos_embed.astype(cfg.dtype)
         x = self.pos_drop(x, deterministic)
+        if cfg.layout == "joint_major":
+            return self._trunk_joint_major(x, deterministic)
         x = self._spatial(x, 0, deterministic)
         # TTE_foward (``mix_ste.py:147-155``)
         c = x.shape[-1]

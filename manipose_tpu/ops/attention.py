@@ -19,7 +19,9 @@ the partial sums), which is far below the 5e-5 parity tolerance.
 Pallas flash-attention kernels for both layouts live in
 ``pallas_attention.py`` (``impl="pallas"``); they fuse the whole chain
 in VMEM but lose to XLA at these shapes on the current chip
-(BASELINE.md r2 kernel study).
+(BASELINE.md r2 kernel study). ``impl="xla_direct"`` forces the
+unpacked einsum path even at tiny N (an A/B escape hatch for perf
+studies; packed stays the measured in-context winner at B=16).
 
 Semantics parity with ``hpe/mh_so3_hpe/architectures/mix_ste.py:225-282``
 (incl. the transposed-score ``comb`` mode, which the reference never
@@ -89,7 +91,8 @@ def multi_head_attention(
         attn = _attn_dropout(attn, dropout_rate, dropout_rng, deterministic)
         out = jnp.einsum("bhde,bhne->bhnd", attn, v)
     elif (
-        q.shape[2] <= 32
+        impl != "xla_direct"
+        and q.shape[2] <= 32
         and (deterministic or dropout_rate == 0.0)
         and largest_dividing_group(q.shape[0] * q.shape[1], 8) > 1
     ):
@@ -103,6 +106,38 @@ def multi_head_attention(
 
     b, h, n, d = out.shape
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, h * d)
+
+
+def joint_major_attention(
+    q: jnp.ndarray,  # (B, J, L, h, d)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Spatial attention over the J axis of a joint-major (B, J, L, C)
+    residual stream, with (B, L, h) as dot_general batch dims.
+
+    This is the spatial core of ``MixSTEConfig.layout="joint_major"``: the
+    trunk keeps one persistent (B, J, L, C) layout so the per-layer
+    physical transposes of the fold layout (2 x 67 MB HBM round-trips per
+    spatial/temporal pair at the flagship shape, plus their backward
+    twins) disappear; XLA folds the strided J access into the einsum's
+    data feed. Measured on-chip (r3): 32.6 ms vs 34.9 ms per fwd+bwd
+    block pair. Semantics identical to the folded per-window attention
+    (``hpe/mh_so3_hpe/architectures/mix_ste.py:225-282``) up to
+    fp32-accumulation reduction order.
+
+    Returns (B, J, L, h*d) merged-head output.
+    """
+    b, j, l, h, d = q.shape
+    scores = jnp.einsum("bjlhd,bklhd->blhjk", q, k) * scale
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = _attn_dropout(probs, dropout_rate, dropout_rng, deterministic)
+    out = jnp.einsum("blhjk,bklhd->bjlhd", probs, v)
+    return out.reshape(b, j, l, h * d)
 
 
 def largest_dividing_group(bh: int, max_group: int) -> int:
