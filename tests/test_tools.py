@@ -86,3 +86,17 @@ def test_mup_coord_check_runs():
         "tools/mup_coord_check.py", "--widths", "32,64", "--steps", "2",
     ])
     assert "width" in stdout and "trunk|a|" in stdout, stdout
+
+
+@pytest.mark.slow
+def test_step_ablation_reports_marginals():
+    stdout = _run([
+        "tools/step_ablation.py", "--batch", "2", "--seq-len", "27",
+        "--steps", "2", "--ablations", "full,no_seg",
+    ])
+    import json
+
+    results = json.loads(stdout.strip().splitlines()[-1])
+    assert set(results) == {"full", "no_seg"}
+    assert results["full"]["ms_per_step"] > 0
+    assert "marginal_ms" in results["no_seg"]
