@@ -1,0 +1,52 @@
+"""Backend selection for CLI entry points.
+
+The ambient environment pins JAX to the remote TPU backend by MERGING
+``JAX_PLATFORMS`` (a sitecustomize hook turns ``JAX_PLATFORMS=cpu`` into
+``"axon,cpu"``), so the env var alone cannot switch a subprocess to CPU
+— only the explicit ``jax.config.update("jax_platforms", ...)`` wins.
+Every CLI tool/script calls :func:`apply_platform_env` at startup so
+
+  MANIPOSE_PLATFORM=cpu python tools/<any>.py   (or JAX_PLATFORMS=cpu)
+
+actually runs on the CPU backend. Without this, subprocess-spawned
+tools (tests, sweeps) silently compile through the TPU tunnel — slow
+when the tunnel is up, and a multi-minute backend-init hang per process
+when it is down (observed 2026-08-17: a tunnel outage turned the
+~20-min fast test suite into a >50-min hang inside the CLI-tool tests).
+
+No reference counterpart: torch picks its device per-tensor, but JAX
+backend choice is process-global and must be pinned before first use.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def apply_platform_env() -> str | None:
+    """Pin the JAX backend from the environment, if requested.
+
+    Resolution order: ``MANIPOSE_PLATFORM`` (always honored) >
+    ``JAX_PLATFORMS`` when it names a single platform (the caller's
+    intent before the sitecustomize merge). Returns the platform
+    applied, or None when the ambient default is left in place. Safe
+    only before first backend use (JAX initializes lazily).
+    """
+    value = os.environ.get("MANIPOSE_PLATFORM")
+    if not value:
+        raw = os.environ.get("JAX_PLATFORMS", "")
+        value = raw if raw and "," not in raw else None
+    if not value:
+        return None
+    import jax
+
+    if jax.config.jax_platforms == value:
+        return value
+    try:
+        jax.config.update("jax_platforms", value)
+    except RuntimeError:
+        # backend already initialized (tool imported as a module inside a
+        # process that touched devices first, e.g. the test suite, whose
+        # conftest pinned the platform itself) — leave it be
+        return None
+    return value

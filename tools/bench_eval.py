@@ -15,6 +15,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from manipose_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
 import numpy as np
 
 import jax

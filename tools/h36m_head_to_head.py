@@ -38,6 +38,10 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 sys.path.insert(0, str(REPO / "tools"))
+
+from manipose_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
 os.environ.setdefault("MPLBACKEND", "Agg")
 
 import numpy as np

@@ -21,12 +21,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    # honor an explicit CPU request: the ambient sitecustomize merges
-    # JAX_PLATFORMS into "axon,cpu", so the env var alone is not enough
-    import jax
+from manipose_tpu.utils.platform import apply_platform_env  # noqa: E402
 
-    jax.config.update("jax_platforms", "cpu")
+apply_platform_env()
 
 from manipose_tpu.config import load_config  # noqa: E402
 from manipose_tpu.utils.tpe import (  # noqa: E402

@@ -25,10 +25,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    import jax
+from manipose_tpu.utils.platform import apply_platform_env  # noqa: E402
 
-    jax.config.update("jax_platforms", "cpu")
+apply_platform_env()
 
 
 def sweep_width(width, lrs, steps=20, base_width=32, depth=2, seq_len=9,

@@ -24,10 +24,9 @@ import os
 
 import jax
 
-if os.environ.get("MANIPOSE_PLATFORM"):
-    # the ambient sitecustomize merges JAX_PLATFORMS, so an explicit
-    # config update is the only reliable backend switch (CLAUDE.md)
-    jax.config.update("jax_platforms", os.environ["MANIPOSE_PLATFORM"])
+from manipose_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
 # remote TPU compiles take minutes per graph; cache across invocations
 jax.config.update(
     "jax_compilation_cache_dir",

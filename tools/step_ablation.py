@@ -51,10 +51,9 @@ def main(argv=None):
 
     import jax
 
-    if os.environ.get("MANIPOSE_PLATFORM"):
-        # test hook: the ambient axon sitecustomize merges JAX_PLATFORMS,
-        # so the explicit config update is required to switch backends
-        jax.config.update("jax_platforms", os.environ["MANIPOSE_PLATFORM"])
+    from manipose_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     import jax.numpy as jnp
     from flax import linen as nn
 

@@ -40,6 +40,10 @@ REF_TOY = "/root/reference/toy_experiment"
 
 sys.path.insert(0, str(REPO))
 
+from manipose_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
 
 # ---------------------------------------------------------------------------
 # Reference import scaffolding: stub undeclared/absent third-party deps so
