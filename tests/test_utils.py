@@ -36,3 +36,60 @@ class TestCompilationCache:
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 0.5
             )  # conftest's value
+
+
+class TestApplyPlatformEnv:
+    """Backend-selection hook for CLI entries (utils/platform.py): the
+    ambient sitecustomize merges JAX_PLATFORMS, so every CLI tool must
+    route through apply_platform_env() or it initializes the remote TPU
+    backend from subprocesses (minutes-long hang when the tunnel is
+    down)."""
+
+    def test_noop_without_env(self, monkeypatch):
+        from manipose_tpu.utils.platform import apply_platform_env
+
+        monkeypatch.delenv("MANIPOSE_PLATFORM", raising=False)
+        monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+        assert apply_platform_env() is None
+
+    def test_manipose_platform_wins_and_matches_current(self, monkeypatch):
+        from manipose_tpu.utils.platform import apply_platform_env
+
+        # conftest pinned this process to cpu; re-applying the same
+        # platform must succeed without touching the live backend
+        monkeypatch.setenv("MANIPOSE_PLATFORM", "cpu")
+        monkeypatch.setenv("JAX_PLATFORMS", "axon,cpu")
+        assert apply_platform_env() == "cpu"
+        assert jax.config.jax_platforms == "cpu"
+
+    def test_merged_jax_platforms_is_ignored(self, monkeypatch):
+        from manipose_tpu.utils.platform import apply_platform_env
+
+        monkeypatch.delenv("MANIPOSE_PLATFORM", raising=False)
+        monkeypatch.setenv("JAX_PLATFORMS", "axon,cpu")
+        assert apply_platform_env() is None
+
+    def test_every_jax_cli_entry_calls_the_hook(self):
+        """Static guard: any tools/ or scripts/ entry that (transitively)
+        initializes JAX must call apply_platform_env(). numpy/torch/
+        matplotlib-only tools are exempt."""
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parents[1]
+        exempt = {
+            "get_table_data.py",       # pandas/numpy only
+            "plot_analysis.py",        # matplotlib/numpy only
+            "measure_reference_baseline.py",  # reference torch only
+        }
+        missing = []
+        for d in ("tools", "scripts"):
+            for f in sorted((repo / d).glob("*.py")):
+                if f.name in exempt:
+                    continue
+                src = f.read_text()
+                if "apply_platform_env" not in src:
+                    missing.append(f"{d}/{f.name}")
+        assert not missing, (
+            "CLI entries missing the apply_platform_env() backend hook "
+            f"(see utils/platform.py): {missing}"
+        )
