@@ -35,6 +35,13 @@ def enable_compilation_cache(path: str | None = None) -> str:
         or os.path.expanduser("~/.cache/jax-tpu-cache")
     )
     os.makedirs(cache_dir, exist_ok=True)
+    if already and already != cache_dir:
+        # JAX pins its persistent-cache object to the FIRST directory it
+        # touches; redirecting the config after any compile is silently
+        # ignored without an explicit reset
+        from jax.experimental.compilation_cache import compilation_cache
+
+        compilation_cache.reset_cache()
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # default threshold (1 min) would skip most of our graphs; anything
     # that took >=1 s to compile is worth persisting
