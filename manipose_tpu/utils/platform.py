@@ -50,3 +50,32 @@ def apply_platform_env() -> str | None:
         # conftest pinned the platform itself) — leave it be
         return None
     return value
+
+
+def relax_cpu_collective_timeouts(
+    terminate_s: int = 600, warn_s: int = 120
+) -> None:
+    """Raise XLA:CPU's hardcoded collective rendezvous deadlines.
+
+    The in-process CPU communicator ABORTS the process ("Termination
+    timeout for collective permute ... Expected N threads to join")
+    when any participant is more than 40 s late to a rendezvous. On a
+    single-core host timesharing an 8-virtual-device mesh, background
+    load can legitimately delay a participant past that — observed
+    killing the multichip dryrun while an unrelated process hogged the
+    core. Must run BEFORE backend init (XLA_FLAGS is read at client
+    creation); appends to any flags already present, without overriding
+    a caller's explicit setting of the same flags.
+    """
+    flags = os.environ.get("XLA_FLAGS", "")
+    additions = []
+    if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+        additions.append(
+            f"--xla_cpu_collective_call_terminate_timeout_seconds={terminate_s}"
+        )
+    if "xla_cpu_collective_call_warn_stuck_timeout_seconds" not in flags:
+        additions.append(
+            f"--xla_cpu_collective_call_warn_stuck_timeout_seconds={warn_s}"
+        )
+    if additions:
+        os.environ["XLA_FLAGS"] = " ".join([flags, *additions]).strip()

@@ -18,6 +18,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# 8 virtual devices timeshare this host's core(s): under background load
+# a collective participant can miss XLA:CPU's 40 s rendezvous abort
+from manipose_tpu.utils.platform import relax_cpu_collective_timeouts  # noqa: E402
+
+relax_cpu_collective_timeouts()
+
 # Persistent compilation cache: CPU XLA compiles dominate test time.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-test-cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

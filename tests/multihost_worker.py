@@ -20,12 +20,15 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 4)
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from manipose_tpu.utils.platform import relax_cpu_collective_timeouts
+
+    relax_cpu_collective_timeouts()
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.config.update(
         "jax_compilation_cache_dir", "/root/.cache/jax-test-cache"
-    )
-    sys.path.insert(
-        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     from manipose_tpu.parallel.multihost import (
         barrier,
