@@ -94,7 +94,43 @@ def step_flops(step, state, x, y) -> float:
         return 0.0
 
 
+def _require_devices(timeout_s: float = 300.0):
+    """Fail fast (with a diagnosis) when the TPU tunnel is down.
+
+    Backend init through the tunnel blocks for tens of minutes when the
+    remote service is unreachable (observed 2026-08-17: a multi-hour
+    outage); a silent hang here looks like a benchmark failure. Probe
+    jax.devices() in a daemon thread with a deadline instead.
+    """
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report, don't mask
+            result["error"] = e
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise SystemExit(
+            f"bench: no JAX devices after {timeout_s:.0f}s — the TPU "
+            "tunnel is likely down (backend init is hanging). Retry when "
+            "the tunnel is back."
+        )
+    if "error" in result:
+        raise SystemExit(f"bench: backend init failed: {result['error']}")
+    import sys
+
+    # stdout carries exactly ONE JSON line (the driver contract)
+    print(f"devices: {result['devices']}", file=sys.stderr, flush=True)
+
+
 def main():
+    _require_devices()
     from manipose_tpu.geometry import h36m_skeleton_17
     from manipose_tpu.models import ManifoldConfig, RMCLManifoldMixSTE
     from manipose_tpu.train import (
