@@ -93,3 +93,18 @@ class TestApplyPlatformEnv:
             "CLI entries missing the apply_platform_env() backend hook "
             f"(see utils/platform.py): {missing}"
         )
+
+    def test_relax_cpu_collective_timeouts_appends_once(self, monkeypatch):
+        from manipose_tpu.utils.platform import relax_cpu_collective_timeouts
+
+        monkeypatch.setenv("XLA_FLAGS", "--xla_foo=1")
+        import os
+
+        relax_cpu_collective_timeouts(terminate_s=123, warn_s=45)
+        flags = os.environ["XLA_FLAGS"]
+        assert "--xla_foo=1" in flags
+        assert "--xla_cpu_collective_call_terminate_timeout_seconds=123" in flags
+        assert "--xla_cpu_collective_call_warn_stuck_timeout_seconds=45" in flags
+        # idempotent: a second call must not duplicate or override
+        relax_cpu_collective_timeouts(terminate_s=999)
+        assert os.environ["XLA_FLAGS"] == flags
