@@ -82,6 +82,35 @@ def gemm_ceiling_tf(n: int = 8192, iters: int = 12) -> float:
     return 2 * n**3 / dt / 1e12
 
 
+def shape_ceiling_tf(
+    m: int = BATCH * 243 * 17, k: int = 512, n: int = 1024, iters: int = 30
+) -> float:
+    """Achievable GEMM rate AT THE MODEL'S DOMINANT SHAPE (TF/s).
+
+    The trunk's hot matmuls are (B*L*J, 512) @ (512, {512,1024,1536})
+    — tall-skinny GEMMs far from the square-8192 regime, where the MXU
+    sustains a lower rate (output tiles too narrow to hide weight
+    loads). ``mfu_at_shape`` = step TF/s over this probe is the honest
+    "how much of what this chip can do *for these shapes* do we get",
+    complementing ``mfu`` against the absolute square-GEMM ceiling.
+    Chained on the activation operand (true dependency), k==n forced by
+    construction via separate weights.
+    """
+    a = jnp.ones((m, k), jnp.bfloat16)
+    w1 = jnp.full((k, n), 1.0 / k, jnp.bfloat16)
+    w2 = jnp.full((n, k), 1.0 / n, jnp.bfloat16)
+    f = jax.jit(lambda x, u, v: (x @ u) @ v)  # round-trips back to (m, k)
+    out = f(a, w1, w2)
+    _ = float(jnp.sum(out))  # warm + compile drain
+    t0 = time.perf_counter()
+    o = a
+    for _ in range(iters):
+        o = f(o, w1, w2)
+    _ = float(jnp.sum(o))
+    dt = (time.perf_counter() - t0) / iters
+    return 2 * (m * k * n + m * n * k) / dt / 1e12
+
+
 def step_flops(step, state, x, y) -> float:
     """FLOPs of one compiled train step from XLA's own cost model."""
     try:
@@ -201,7 +230,11 @@ def main():
     flops = step_flops(step, state, x, y)
     tf_per_sec = flops / dt / 1e12 if flops else None
     ceiling = gemm_ceiling_tf()
+    at_shape = shape_ceiling_tf()
     mfu = (tf_per_sec / ceiling) if (tf_per_sec and ceiling) else None
+    mfu_at_shape = (
+        (tf_per_sec / at_shape) if (tf_per_sec and at_shape) else None
+    )
     print(
         json.dumps(
             {
@@ -212,6 +245,12 @@ def main():
                 "tf_per_sec": round(tf_per_sec, 2) if tf_per_sec else None,
                 "ceiling_tf_per_sec": round(ceiling, 2) if ceiling else None,
                 "mfu": round(mfu, 3) if mfu else None,
+                "shape_ceiling_tf_per_sec": (
+                    round(at_shape, 2) if at_shape else None
+                ),
+                "mfu_at_shape": (
+                    round(mfu_at_shape, 3) if mfu_at_shape else None
+                ),
                 "vs_cpu_reference": (
                     round(vs_baseline, 2) if vs_baseline else None
                 ),

@@ -100,3 +100,40 @@ def test_step_ablation_reports_marginals():
     assert set(results) == {"full", "no_seg"}
     assert results["full"]["ms_per_step"] > 0
     assert "marginal_ms" in results["no_seg"]
+
+
+def test_make_synthetic_3dhp_roundtrip(tmp_path):
+    """The FK-synthetic 3DHP archives must drive the production loader:
+    MPI->H36M permute, root-centering, mm->m, valid masks, TS5/6 screen
+    norms — and the poses must carry FK structure (constant bone
+    lengths), which random fixtures cannot."""
+    out = tmp_path / "synth_3dhp"
+    stdout = _run([
+        "tools/make_synthetic_3dhp.py", "--out", str(out),
+        "--train-seqs", "2", "--cams", "2", "--frames", "60",
+        "--test-frames", "50",
+    ])
+    assert "in-frame fraction=1.000" in stdout, stdout
+
+    import numpy as np
+
+    from manipose_tpu.data.dhp3 import Dataset3DHP
+
+    train = Dataset3DHP(out, train=True)
+    test = Dataset3DHP(out, train=False)
+    assert len(train.poses) == 4  # 2 seqs x 2 cams
+    assert len(test.poses) == 6  # TS1..TS6
+    p = train.poses[0]
+    assert p.shape == (60, 17, 3)
+    np.testing.assert_allclose(p[:, 0], 0.0, atol=1e-6)  # root-centered
+    # FK structure survives the on-disk roundtrip: constant bone lengths
+    bones = np.asarray(train.skeleton.bones)
+    lengths = np.linalg.norm(
+        p[:, bones[:, 1]] - p[:, bones[:, 0]], axis=-1
+    )
+    assert lengths.std(axis=0).max() < 1e-5
+    # valid-frame masking dropped some test frames (3 deterministic + 5%)
+    assert all(q.shape[0] < 50 for q in test.poses)
+    # screen normalization puts 2D in [-1, ~1]
+    for q2 in (train.poses_2d[0], test.poses_2d[4]):  # TS5 is 1920x1080
+        assert np.abs(q2).max() <= 1.0 + 1e-6
