@@ -8,7 +8,12 @@ from .optim import (
     make_scheduler,
 )
 from .init import torch_match_init
-from .step import TrainState, make_eval_loss_step, make_train_step
+from .step import (
+    TrainState,
+    make_eval_loss_step,
+    make_multi_train_step,
+    make_train_step,
+)
 
 __all__ = [
     "torch_match_init",
@@ -23,4 +28,5 @@ __all__ = [
     "TrainState",
     "make_eval_loss_step",
     "make_train_step",
+    "make_multi_train_step",
 ]

@@ -158,6 +158,20 @@ def train(
         rmcl=rmcl,
     )
     train_step = make_train_step(apply_fn, loss_cfg, skeleton, tx, donate=False)
+    # megastep: fuse K optimizer steps into one compiled call
+    # (lax.scan over stacked batches) — one host dispatch per K steps.
+    # Single-device only: under a mesh the stacked (K, B, ...) layout
+    # would need batch sharding on axis 1, which shard_batch doesn't lay
+    # out (and the mesh path's dispatch already overlaps collectives).
+    steps_per_call = int(cfg_train.get("steps_per_call", 1))
+    multi_step = None
+    if steps_per_call > 1 and mesh is None:
+        from .step import make_multi_train_step
+
+        multi_step = make_multi_train_step(
+            apply_fn, loss_cfg, skeleton, tx, steps_per_call, donate=False
+        )
+        print(f"==> Megastep: {steps_per_call} optimizer steps per dispatch")
     val_step = make_eval_loss_step(apply_fn, loss_cfg, skeleton)
     eval_cfg = EvalConfig(tta=cfg_train.tta, rmcl=rmcl, compute_oracle=rmcl)
 
@@ -211,9 +225,46 @@ def train(
             train_loader.set_epoch(epoch)
             # --- train epoch ---
             term_sums: dict = {}
+            pending: list = []  # buffered full batches for the megastep
+
+            def _record(metrics, n_steps=1):
+                for k, v in metrics.items():
+                    sums = term_sums.setdefault(k, [])
+                    if n_steps == 1:
+                        sums.append(v)
+                    else:  # stacked (n_steps,) device array
+                        sums.extend(v[i] for i in range(n_steps))
+
+            def _flush_pending():
+                nonlocal state
+                if not pending:
+                    return
+                x_stack = np.stack([b[0] for b in pending])
+                y_stack = np.stack([b[1] for b in pending])
+                if len(pending) == steps_per_call:
+                    xs, ys = _place(x_stack, y_stack)
+                    state, metrics = multi_step(state, xs, ys, scheduler.lr)
+                    _record(metrics, n_steps=len(pending))
+                else:  # epoch-end remainder: regular single steps
+                    for x2d, x3d in pending:
+                        x2d, x3d = _place(x2d, x3d)
+                        state, metrics = train_step(
+                            state, x2d, x3d, scheduler.lr, None
+                        )
+                        _record(metrics)
+                pending.clear()
+
             for batch in prefetch(train_loader):
                 n_valid = int(batch.valid.sum())
                 meter.step(n_valid)
+                if multi_step is not None and n_valid == batch.batch_size:
+                    pending.append((batch.pose_2d, batch.pose_3d))
+                    if len(pending) == steps_per_call:
+                        _flush_pending()
+                    continue
+                # a partial batch must run AFTER the buffered full ones
+                # (data order == optimizer-step order)
+                _flush_pending()
                 x2d, x3d = _place(batch.pose_2d, batch.pose_3d)
                 # under a mesh, keep the full (padded) batch so the
                 # per-device shard shapes stay static: the final partial
@@ -229,8 +280,8 @@ def train(
                 state, metrics = train_step(
                     state, x2d, x3d, scheduler.lr, n_valid_arg
                 )
-                for k, v in metrics.items():
-                    term_sums.setdefault(k, []).append(v)
+                _record(metrics)
+            _flush_pending()
             epoch_loss = float(
                 np.mean([float(x) for x in term_sums["loss"]])
             )

@@ -134,6 +134,75 @@ def make_train_step(
     return jax.jit(step, donate_argnums=donate_argnums, static_argnums=(4,))
 
 
+def make_multi_train_step(
+    apply_fn: Callable,
+    loss_cfg: LossConfig,
+    skeleton: Optional[Skeleton],
+    tx: optax.GradientTransformation,
+    n_steps: int,
+    donate: bool = False,
+):
+    """Megastep: ``n_steps`` full optimizer updates fused into ONE
+    compiled program via ``lax.scan`` over stacked batches.
+
+    Semantics are identical to calling :func:`make_train_step`'s step
+    ``n_steps`` times (same rng threading: split once per inner step),
+    but the host dispatches once per K steps — on backends where
+    dispatch rides a tunnel/RPC boundary this removes K-1 round trips
+    per call. The learning rate is a single scalar for the whole call
+    (host schedulers change it at epoch granularity only).
+
+    Returns step(state, x_stack, y_stack, lr) -> (state, metrics) where
+    x_stack/y_stack lead with the step axis (n_steps, B, ...) and every
+    metric comes back stacked (n_steps,).
+    """
+
+    def loss_fn(params, pose_2d, pose_3d, dropout_rng):
+        prediction = apply_fn(
+            params,
+            pose_2d,
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        total, terms = compute_loss(prediction, pose_3d, loss_cfg, skeleton)
+        return total, terms
+
+    def step(state: TrainState, x_stack, y_stack, lr):
+        assert x_stack.shape[0] == n_steps, (
+            f"stacked batch leads with {x_stack.shape[0]} steps, "
+            f"megastep compiled for {n_steps}"
+        )
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+
+        def body(carry, xy):
+            params, opt_state, rng, step_i = carry
+            x, y = xy
+            rng, dropout_rng = jax.random.split(rng)
+            (total, terms), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, x, y, dropout_rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng, step_i + 1), {
+                "loss": total,
+                **terms,
+            }
+
+        (params, opt_state, rng, step_i), metrics = jax.lax.scan(
+            body,
+            (state.params, opt_state, state.rng, state.step),
+            (x_stack, y_stack),
+        )
+        new_state = state.replace(
+            step=step_i, params=params, opt_state=opt_state, rng=rng
+        )
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
 def make_eval_loss_step(
     apply_fn: Callable,
     loss_cfg: LossConfig,

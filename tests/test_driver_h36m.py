@@ -123,6 +123,20 @@ class TestH36MDriver:
         table_path = tmp_path / "default" / "protocol_1_err.csv"
         assert table_path.exists()
 
+    def test_debug_run_megastep(self, synthetic_h36m, tmp_path):
+        """steps_per_call=2 fuses pairs of optimizer steps into one
+        dispatch; the driver must still train end-to-end (incl. the
+        epoch-end remainder path) and log one loss per step."""
+        from manipose_tpu.drivers.h36m import main
+
+        cfg = _cfg(
+            synthetic_h36m, tmp_path, extra=["train.steps_per_call=2"]
+        )
+        best = main(cfg)
+        assert best is not None and np.isfinite(best)
+        losses = np.load(tmp_path / "default" / "train_loss.npy")
+        assert losses.shape == (1,) and np.isfinite(losses).all()
+
     def test_eval_only_from_converted_torch_checkpoint(
         self, synthetic_h36m, tmp_path
     ):

@@ -161,6 +161,59 @@ class TestTrainStep:
         ]
         assert zero_paths == [], f"dead params: {zero_paths}"
 
+    def test_megastep_matches_sequential_steps(self):
+        """K scan-fused optimizer steps == K single-step dispatches:
+        same per-step losses, same final params (identical rng
+        threading — split once per inner step)."""
+        from manipose_tpu.train import make_multi_train_step
+
+        K = 3
+        model, params, x = _rmcl()
+        rng = np.random.default_rng(7)
+        xs = np.stack(
+            [np.asarray(x) + 0.01 * i for i in range(K)]
+        ).astype(np.float32)
+        ys = 0.1 * rng.normal(size=(K, B, L, J, 3)).astype(np.float32)
+        tx = make_optimizer(weight_decay=1e-6)
+        cfg = LossConfig(rmcl=True)
+
+        # sequential reference
+        state_a = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        step = make_train_step(model.apply, cfg, SKEL, tx, donate=False)
+        seq_losses = []
+        for i in range(K):
+            state_a, m = step(
+                state_a, jnp.asarray(xs[i]), jnp.asarray(ys[i]), 1e-3
+            )
+            seq_losses.append(float(m["loss"]))
+
+        # fused megastep
+        state_b = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        multi = make_multi_train_step(
+            model.apply, cfg, SKEL, tx, n_steps=K, donate=False
+        )
+        state_b, metrics = multi(
+            state_b, jnp.asarray(xs), jnp.asarray(ys), 1e-3
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(metrics["loss"], np.float64), seq_losses, rtol=1e-6
+        )
+        assert int(state_b.step) == int(state_a.step) == K
+        for (pa, ga), (pb, gb) in zip(
+            jax.tree_util.tree_flatten_with_path(state_a.params)[0],
+            jax.tree_util.tree_flatten_with_path(state_b.params)[0],
+        ):
+            assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+            np.testing.assert_allclose(
+                np.asarray(ga), np.asarray(gb), atol=1e-6,
+                err_msg=jax.tree_util.keystr(pa),
+            )
+        # rng threading identical -> next dropout keys identical
+        np.testing.assert_array_equal(
+            np.asarray(state_a.rng), np.asarray(state_b.rng)
+        )
+
 
 class TestEvalEngine:
     def _loader(self):
