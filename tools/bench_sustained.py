@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--videos", type=int, default=40)
     ap.add_argument("--frames", type=int, default=700)
     ap.add_argument("--seq-len", type=int, default=243)
+    ap.add_argument(
+        "--steps-per-call", type=int, default=1,
+        help="fuse K optimizer steps per dispatch (megastep A/B)",
+    )
     args = ap.parse_args()
 
     from manipose_tpu.data import PoseSequenceDataset, SequenceLoader
@@ -50,6 +54,7 @@ def main():
     from manipose_tpu.train import (
         LossConfig,
         TrainState,
+        make_multi_train_step,
         make_optimizer,
         make_train_step,
     )
@@ -73,26 +78,51 @@ def main():
     )
     tx = make_optimizer(weight_decay=1e-6)
     state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    K = args.steps_per_call
     step = make_train_step(model.apply, LossConfig(rmcl=True), skel, tx,
                            donate=False)
+    multi = (
+        make_multi_train_step(
+            model.apply, LossConfig(rmcl=True), skel, tx, K, donate=False
+        )
+        if K > 1
+        else None
+    )
 
     # warmup / compile
     # one batch without prefetch(): abandoning a prefetch generator
     # leaks its producer thread for the process lifetime
     batch0 = next(iter(loader))
-    state, m = step(state, jnp.asarray(batch0.pose_2d),
-                    jnp.asarray(batch0.pose_3d), 4e-5)
-    _ = float(m["loss"])
+    if multi is not None:
+        xs = jnp.asarray(np.stack([batch0.pose_2d] * K))
+        ys = jnp.asarray(np.stack([batch0.pose_3d] * K))
+        state, m = multi(state, xs, ys, 4e-5)
+        _ = float(m["loss"][-1])
+    else:
+        state, m = step(state, jnp.asarray(batch0.pose_2d),
+                        jnp.asarray(batch0.pose_3d), 4e-5)
+        _ = float(m["loss"])
 
     n_seq = 0
+    pending = []
     t0 = time.perf_counter()
     for _ in range(args.epochs):
         for batch in prefetch(loader):
-            state, m = step(state, jnp.asarray(batch.pose_2d),
-                            jnp.asarray(batch.pose_3d), 4e-5)
-            n_seq += batch.pose_2d.shape[0]
+            if multi is not None:
+                pending.append((batch.pose_2d, batch.pose_3d))
+                if len(pending) == K:
+                    xs = jnp.asarray(np.stack([p[0] for p in pending]))
+                    ys = jnp.asarray(np.stack([p[1] for p in pending]))
+                    state, m = multi(state, xs, ys, 4e-5)
+                    n_seq += int(xs.shape[0] * xs.shape[1])
+                    pending.clear()
+            else:
+                state, m = step(state, jnp.asarray(batch.pose_2d),
+                                jnp.asarray(batch.pose_3d), 4e-5)
+                n_seq += batch.pose_2d.shape[0]
     # float forces completion (block_until_ready is unreliable here)
-    _ = float(m["loss"])
+    loss_last = m["loss"] if multi is None else m["loss"][-1]
+    _ = float(loss_last)
     _ = float(jnp.sum(jax.tree_util.tree_leaves(state.params)[0]))
     dt = time.perf_counter() - t0
 
@@ -104,6 +134,7 @@ def main():
         "unit": "seq/s",
         "n_sequences": n_seq,
         "seq_len": args.seq_len,
+        "steps_per_call": K,
     }))
 
 
