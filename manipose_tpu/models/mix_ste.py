@@ -145,16 +145,21 @@ class Mlp(nn.Module):
             self.hidden_features
         )
         dt = self.dtype
-        rows = int(np.prod(x.shape[:-1]))
 
         # fused path only under bf16 compute: the kernel's in-VMEM erf
         # approximation (1.5e-7) vanishes under bf16 rounding but would
-        # show at ~1e-5 against the exact-erf fp32 reference path
+        # show at ~1e-5 against the exact-erf fp32 reference path.
+        # Symbolic leading dims (jax.export shape polymorphism) skip it:
+        # the kernel grid needs a concrete row count.
         if (
             self.impl == "pallas"
             and self.dtype == jnp.bfloat16
             and (deterministic or self.drop == 0.0)
+            and not any(
+                jax.export.is_symbolic_dim(d) for d in x.shape[:-1]
+            )
         ):
+            rows = int(np.prod(x.shape[:-1]))
             from ..ops.pallas_mlp import fused_mlp, supported
 
             if supported(rows):

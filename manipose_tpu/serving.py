@@ -117,6 +117,7 @@ class Predictor:
                 agg = (agg + flip_poses(f_agg, skeleton)) / 2
             return agg, hyps, scores
 
+        self._raw_forward = forward  # unjitted: reused by export_stablehlo
         self._forward = jax.jit(forward)
 
     # ------------------------------------------------------------------
@@ -155,6 +156,59 @@ class Predictor:
                 cfg=cfg, variables=predictor.variables, quantize=True, **kw
             )
         return predictor
+
+    # ------------------------------------------------------------------
+    def export_stablehlo(self, path=None, batch_symbolic: bool = True):
+        """Serialize the forward pass as a portable StableHLO artifact.
+
+        Uses ``jax.export``: the returned bytes embed the weights and
+        the full TTA/aggregation graph, so any runtime that consumes
+        StableHLO (TF serving via jax2tf, IREE, another JAX process via
+        ``jax.export.deserialize``) can run inference without flax, the
+        model code, or the checkpoint. With ``batch_symbolic`` the
+        window-batch dimension is exported symbolically — one artifact
+        serves any batch size. Returns the serialized bytes; also
+        writes them to ``path`` when given.
+
+        No reference counterpart (research drivers only, SURVEY §0) —
+        this is the framework's deployment surface.
+        """
+        from jax import export as jax_export
+
+        variables = self.variables
+        forward = self._raw_forward
+
+        def fn(x):
+            return forward(variables, x)
+
+        j = self.skeleton.num_joints
+        x_spec = jax.ShapeDtypeStruct(
+            (self.batch_size, self.seq_len, j, 2), jnp.float32
+        )
+        if batch_symbolic:
+            (x_spec,) = jax_export.symbolic_args_specs(
+                (x_spec,), "b, _, _, _"
+            )
+        exported = jax_export.export(jax.jit(fn))(x_spec)
+        data = exported.serialize()
+        if path is not None:
+            with open(path, "wb") as f:
+                f.write(bytes(data))
+        return bytes(data)
+
+    @staticmethod
+    def load_stablehlo(path_or_bytes):
+        """Deserialize an :meth:`export_stablehlo` artifact into a
+        callable ``f(keypoints (B, L, J, 2)) -> (poses, hyps, scores)``."""
+        from jax import export as jax_export
+
+        data = (
+            path_or_bytes
+            if isinstance(path_or_bytes, (bytes, bytearray))
+            else open(path_or_bytes, "rb").read()
+        )
+        exported = jax_export.deserialize(bytearray(data))
+        return lambda x: exported.call(jnp.asarray(x, jnp.float32))
 
     # ------------------------------------------------------------------
     def predict_video(

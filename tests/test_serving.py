@@ -250,3 +250,44 @@ class TestInt8Gating:
         Predictor(cfg=self._cfg(), batch_size=2, tta=False, quantize=True)
         assert len(calls) == 1
         Predictor._int8_probe_cache = None
+
+
+class TestStableHLOExport:
+    def test_export_roundtrip_symbolic_batch(self, predictor, tmp_path):
+        """export_stablehlo -> deserialize -> call must reproduce the
+        live forward at MULTIPLE batch sizes from one artifact (the
+        window-batch dim is exported symbolically), proving the
+        artifact is self-contained (weights + TTA + aggregation)."""
+        path = tmp_path / "manipose.stablehlo"
+        data = predictor.export_stablehlo(path)
+        assert path.stat().st_size == len(data) > 10_000
+
+        f = Predictor.load_stablehlo(path)
+        rng = np.random.default_rng(7)
+        for b in (3, 5):  # == batch_size and a different symbolic value
+            x = rng.normal(size=(b, 9, 17, 2)).astype(np.float32)
+            agg, hyps, scores = f(x)
+            ref_agg, ref_hyps, ref_scores = predictor._forward(
+                predictor.variables, jnp.asarray(x)
+            )
+            assert agg.shape == (b, 9, 17, 3)
+            assert hyps.shape == (b, 2, 9, 17, 3)  # n_hyp=2
+            # a different compilation of the same graph: reduction-order
+            # noise only
+            np.testing.assert_allclose(
+                np.asarray(agg), np.asarray(ref_agg), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(scores), np.asarray(ref_scores), atol=1e-5
+            )
+
+    def test_export_fixed_batch(self, predictor, tmp_path):
+        data = predictor.export_stablehlo(batch_symbolic=False)
+        f = Predictor.load_stablehlo(data)
+        rng = np.random.default_rng(8)
+        x = rng.normal(size=(3, 9, 17, 2)).astype(np.float32)
+        agg, _, _ = f(x)
+        assert agg.shape == (3, 9, 17, 3)
+        # wrong batch size must be rejected, not silently miscomputed
+        with pytest.raises(Exception):
+            f(rng.normal(size=(4, 9, 17, 2)).astype(np.float32))
