@@ -42,6 +42,10 @@ class Predictor:
         throughput (BASELINE.md r2). ``"force"`` skips the probe.
         Float ``variables`` are quantized on construction; check
         ``self.quantized`` for the effective mode.
+      data_parallel: shard the window batch over all local devices
+        (params replicated, batch split on a 1-axis 'data' mesh) —
+        multi-chip batch inference with unchanged outputs.
+        ``batch_size`` must divide by the device count.
     """
 
     _int8_probe_cache: Optional[float] = None  # once per process
@@ -54,6 +58,7 @@ class Predictor:
         batch_size: int = 8,
         tta: bool = True,
         quantize: bool = False,
+        data_parallel: bool = False,
     ):
         if cfg is None:
             cfg = load_config("config")
@@ -118,7 +123,27 @@ class Predictor:
             return agg, hyps, scores
 
         self._raw_forward = forward  # unjitted: reused by export_stablehlo
-        self._forward = jax.jit(forward)
+        self.mesh = None
+        if data_parallel:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel import make_mesh, replicate
+
+            n_dev = len(jax.devices())
+            assert batch_size % n_dev == 0, (
+                f"batch_size={batch_size} must divide over {n_dev} devices"
+            )
+            self.mesh = make_mesh(data=n_dev)
+            self.variables = replicate(self.variables, self.mesh)
+            self._forward = jax.jit(
+                forward,
+                in_shardings=(
+                    NamedSharding(self.mesh, P()),  # params: replicated
+                    NamedSharding(self.mesh, P("data")),  # batch: split
+                ),
+            )
+        else:
+            self._forward = jax.jit(forward)
 
     # ------------------------------------------------------------------
     @classmethod

@@ -291,3 +291,26 @@ class TestStableHLOExport:
         # wrong batch size must be rejected, not silently miscomputed
         with pytest.raises(Exception):
             f(rng.normal(size=(4, 9, 17, 2)).astype(np.float32))
+
+
+class TestDataParallelServing:
+    def test_sharded_matches_single_device(self):
+        """data_parallel=True shards the window batch over the 8
+        virtual devices; outputs must match the single-device path."""
+        cfg = load_config("config", overrides=OVERRIDES)
+        base = Predictor(cfg=cfg, batch_size=8, tta=True)
+        dp = Predictor(
+            cfg=cfg, variables=base.variables, batch_size=8, tta=True,
+            data_parallel=True,
+        )
+        assert dp.mesh is not None and dp.mesh.shape["data"] == 8
+        rng = np.random.default_rng(11)
+        video = rng.normal(size=(50, 17, 2)).astype(np.float32)
+        np.testing.assert_allclose(
+            dp.predict_video(video), base.predict_video(video), atol=2e-5
+        )
+
+    def test_batch_must_divide_devices(self):
+        cfg = load_config("config", overrides=OVERRIDES)
+        with pytest.raises(AssertionError):
+            Predictor(cfg=cfg, batch_size=3, data_parallel=True)
