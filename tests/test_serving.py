@@ -292,6 +292,24 @@ class TestStableHLOExport:
         with pytest.raises(Exception):
             f(rng.normal(size=(4, 9, 17, 2)).astype(np.float32))
 
+    def test_export_mixste_arch(self, tmp_path):
+        """Non-rMCL export: the (poses, None, None) return pytree must
+        survive serialization (None legs are empty pytree nodes)."""
+        cfg = load_config(
+            "config", overrides=OVERRIDES + ["model.arch=mixste"]
+        )
+        p = Predictor(cfg=cfg, batch_size=2, tta=True)
+        f = Predictor.load_stablehlo(p.export_stablehlo())
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=(4, 9, 17, 2)).astype(np.float32)
+        agg, hyps, scores = f(x)
+        assert hyps is None and scores is None
+        np.testing.assert_allclose(
+            np.asarray(agg),
+            np.asarray(p._forward(p.variables, jnp.asarray(x))[0]),
+            atol=1e-5,
+        )
+
 
 class TestDataParallelServing:
     def test_sharded_matches_single_device(self):
