@@ -102,26 +102,7 @@ class Predictor:
             )
             self.variables = quantize_params(self.variables)
 
-        def forward(variables, x):
-            pred = self.model.apply(variables, x, deterministic=True)
-            if self.rmcl:
-                hyps, scores = pred
-                agg = aggregate_hypotheses(hyps, scores, "weighted_ave")
-            else:
-                hyps, scores = None, None
-                agg = pred
-            if self.tta:
-                flipped = self.model.apply(
-                    variables, flip_poses(x, skeleton), deterministic=True
-                )
-                if self.rmcl:
-                    f_hyps, f_scores = flipped
-                    f_agg = aggregate_hypotheses(f_hyps, f_scores, "weighted_ave")
-                else:
-                    f_agg = flipped
-                agg = (agg + flip_poses(f_agg, skeleton)) / 2
-            return agg, hyps, scores
-
+        forward = self._make_forward(self.model)
         self._raw_forward = forward  # unjitted: reused by export_stablehlo
         self.mesh = None
         if data_parallel:
@@ -130,9 +111,11 @@ class Predictor:
             from .parallel import make_mesh, replicate
 
             n_dev = len(jax.devices())
-            assert batch_size % n_dev == 0, (
-                f"batch_size={batch_size} must divide over {n_dev} devices"
-            )
+            if batch_size % n_dev:  # not assert: must survive python -O
+                raise ValueError(
+                    f"batch_size={batch_size} must divide over {n_dev} "
+                    "devices"
+                )
             self.mesh = make_mesh(data=n_dev)
             self.variables = replicate(self.variables, self.mesh)
             self._forward = jax.jit(
@@ -144,6 +127,34 @@ class Predictor:
             )
         else:
             self._forward = jax.jit(forward)
+
+    def _make_forward(self, model):
+        """Windows-batch forward: apply + TTA flip + score aggregation."""
+        skeleton = self.skeleton
+
+        def forward(variables, x):
+            pred = model.apply(variables, x, deterministic=True)
+            if self.rmcl:
+                hyps, scores = pred
+                agg = aggregate_hypotheses(hyps, scores, "weighted_ave")
+            else:
+                hyps, scores = None, None
+                agg = pred
+            if self.tta:
+                flipped = model.apply(
+                    variables, flip_poses(x, skeleton), deterministic=True
+                )
+                if self.rmcl:
+                    f_hyps, f_scores = flipped
+                    f_agg = aggregate_hypotheses(
+                        f_hyps, f_scores, "weighted_ave"
+                    )
+                else:
+                    f_agg = flipped
+                agg = (agg + flip_poses(f_agg, skeleton)) / 2
+            return agg, hyps, scores
+
+        return forward
 
     # ------------------------------------------------------------------
     @classmethod
@@ -202,6 +213,23 @@ class Predictor:
 
         variables = self.variables
         forward = self._raw_forward
+        if (
+            self.cfg.model.get("attn_impl", "xla") != "xla"
+            or self.cfg.model.get("mlp_impl", "xla") != "xla"
+        ):
+            # Pallas kernels lower to tpu_custom_call, which jax.export
+            # refuses to serialize (no compatibility guarantees). The
+            # kernels are parity-tested equal to the XLA path, so export
+            # through an XLA-impl twin of the same architecture.
+            import copy
+
+            cfg = copy.deepcopy(self.cfg)
+            cfg.model.attn_impl = "xla"
+            cfg.model.mlp_impl = "xla"
+            model, _ = instantiate_model(
+                cfg, self.skeleton, quant=self.quantized
+            )
+            forward = self._make_forward(model)
 
         def fn(x):
             return forward(variables, x)
@@ -227,11 +255,11 @@ class Predictor:
         callable ``f(keypoints (B, L, J, 2)) -> (poses, hyps, scores)``."""
         from jax import export as jax_export
 
-        data = (
-            path_or_bytes
-            if isinstance(path_or_bytes, (bytes, bytearray))
-            else open(path_or_bytes, "rb").read()
-        )
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            data = path_or_bytes
+        else:
+            with open(path_or_bytes, "rb") as f:
+                data = f.read()
         exported = jax_export.deserialize(bytearray(data))
         return lambda x: exported.call(jnp.asarray(x, jnp.float32))
 

@@ -165,13 +165,23 @@ def train(
     # out (and the mesh path's dispatch already overlaps collectives).
     steps_per_call = int(cfg_train.get("steps_per_call", 1))
     multi_step = None
-    if steps_per_call > 1 and mesh is None:
-        from .step import make_multi_train_step
+    if steps_per_call > 1:
+        if mesh is not None:
+            print(
+                "WARNING: train.steps_per_call > 1 is single-device only "
+                "(stacked batches are not mesh-sharded); megastep "
+                "DISABLED for this mesh run"
+            )
+        else:
+            from .step import make_multi_train_step
 
-        multi_step = make_multi_train_step(
-            apply_fn, loss_cfg, skeleton, tx, steps_per_call, donate=False
-        )
-        print(f"==> Megastep: {steps_per_call} optimizer steps per dispatch")
+            multi_step = make_multi_train_step(
+                apply_fn, loss_cfg, skeleton, tx, steps_per_call,
+                donate=False,
+            )
+            print(
+                f"==> Megastep: {steps_per_call} optimizer steps per dispatch"
+            )
     val_step = make_eval_loss_step(apply_fn, loss_cfg, skeleton)
     eval_cfg = EvalConfig(tta=cfg_train.tta, rmcl=rmcl, compute_oracle=rmcl)
 
@@ -239,10 +249,16 @@ def train(
                 nonlocal state
                 if not pending:
                     return
-                x_stack = np.stack([b[0] for b in pending])
-                y_stack = np.stack([b[1] for b in pending])
+                # meter at DISPATCH time, once per flush: the meter's
+                # first-call exclusion then keeps the megastep compile
+                # out of the timed window (stepping it at buffer time
+                # would start the clock before the compiling dispatch)
+                meter.step(sum(b.shape[0] for b, _ in pending))
                 if len(pending) == steps_per_call:
-                    xs, ys = _place(x_stack, y_stack)
+                    xs, ys = _place(
+                        np.stack([b[0] for b in pending]),
+                        np.stack([b[1] for b in pending]),
+                    )
                     state, metrics = multi_step(state, xs, ys, scheduler.lr)
                     _record(metrics, n_steps=len(pending))
                 else:  # epoch-end remainder: regular single steps
@@ -256,7 +272,6 @@ def train(
 
             for batch in prefetch(train_loader):
                 n_valid = int(batch.valid.sum())
-                meter.step(n_valid)
                 if multi_step is not None and n_valid == batch.batch_size:
                     pending.append((batch.pose_2d, batch.pose_3d))
                     if len(pending) == steps_per_call:
@@ -265,6 +280,7 @@ def train(
                 # a partial batch must run AFTER the buffered full ones
                 # (data order == optimizer-step order)
                 _flush_pending()
+                meter.step(n_valid)
                 x2d, x3d = _place(batch.pose_2d, batch.pose_3d)
                 # under a mesh, keep the full (padded) batch so the
                 # per-device shard shapes stay static: the final partial

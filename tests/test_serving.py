@@ -310,6 +310,30 @@ class TestStableHLOExport:
             atol=1e-5,
         )
 
+    def test_export_pallas_config_falls_back_to_xla(self):
+        """Pallas kernels lower to tpu_custom_call, which jax.export
+        refuses; export must route through the parity-tested XLA twin
+        instead of failing."""
+        cfg_pallas = load_config(
+            "config",
+            overrides=OVERRIDES
+            + ["model.mlp_impl=pallas", "model.attn_impl=pallas"],
+        )
+        cfg_xla = load_config("config", overrides=OVERRIDES)
+        base = Predictor(cfg=cfg_xla, batch_size=2, tta=True)
+        p = Predictor(
+            cfg=cfg_pallas, variables=base.variables, batch_size=2,
+            tta=True,
+        )
+        f = Predictor.load_stablehlo(p.export_stablehlo())
+        rng = np.random.default_rng(10)
+        x = rng.normal(size=(2, 9, 17, 2)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(f(x)[0]),
+            np.asarray(base._forward(base.variables, jnp.asarray(x))[0]),
+            atol=1e-5,
+        )
+
 
 class TestDataParallelServing:
     def test_sharded_matches_single_device(self):
@@ -330,5 +354,6 @@ class TestDataParallelServing:
 
     def test_batch_must_divide_devices(self):
         cfg = load_config("config", overrides=OVERRIDES)
-        with pytest.raises(AssertionError):
+        # ValueError (not assert): the guard must survive python -O
+        with pytest.raises(ValueError, match="must divide"):
             Predictor(cfg=cfg, batch_size=3, data_parallel=True)

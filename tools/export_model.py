@@ -91,7 +91,10 @@ def main(argv=None):
         )
         err = float(np.abs(agg - ref).max())
         print(f"verify: max |artifact - live| = {err:.2e} at batch {b}")
-        assert err < 1e-4, err
+        if not err < 1e-4:  # not assert: must survive python -O
+            raise SystemExit(
+                f"verification FAILED: artifact deviates by {err:.2e}"
+            )
 
 
 if __name__ == "__main__":
