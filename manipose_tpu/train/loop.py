@@ -136,6 +136,15 @@ def train(
     # resume optimizer + scheduler + epoch (reference run.checkpoint_params,
     # ``main_h36m_lifting.py:225,239-241,267-269,283-285``)
     resume_from = cfg.run.get("checkpoint_params", "")
+    if not resume_from and cfg.run.get("auto_resume", False):
+        # elastic restart: relaunching the SAME command after a
+        # preemption picks up this run's own latest resume state
+        # (no reference counterpart — its resume is manual only)
+        if (output_dir / "train_state_host.json").exists() or (
+            output_dir / "train_state" / "host_state.json"
+        ).exists():
+            resume_from = str(output_dir)
+            print(f"==> auto_resume: found train state in {output_dir}")
     if resume_from:
         resume_dir = Path(resume_from)
         state = restore_checkpoint(resume_dir, "train_state", state)

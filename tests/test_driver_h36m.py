@@ -199,6 +199,21 @@ class TestH36MDriver:
         losses = np.load(tmp_path / "resumed" / "default" / "train_loss.npy")
         assert len(losses) == 1
 
+    def test_auto_resume_after_preemption(self, synthetic_h36m, tmp_path):
+        """run.auto_resume=true: relaunching the SAME command after an
+        interruption picks up the run's own latest train state (elastic
+        restart; the reference's resume is manual-only)."""
+        from manipose_tpu.drivers.h36m import main
+
+        extra = ["run.test=false", "run.auto_resume=true"]
+        main(_cfg(synthetic_h36m, tmp_path, extra=extra))  # "preempted"
+        # identical relaunch, now asking for 2 epochs total
+        main(_cfg(synthetic_h36m, tmp_path,
+                  extra=extra + ["train.epochs=2"]))
+        # only epoch 2 trained on the relaunch -> one loss entry
+        losses = np.load(tmp_path / "default" / "train_loss.npy")
+        assert len(losses) == 1
+
 
 def test_resume_equivalence(synthetic_h36m, tmp_path):
     """Mid-run resume continues EQUIVALENTLY to an uninterrupted run
