@@ -76,7 +76,11 @@ def train(
             weight_decay=1e-6,
         )
     else:
-        tx = make_optimizer(weight_decay=1e-6)
+        tx = make_optimizer(
+            weight_decay=1e-6,
+            grad_clip=float(cfg_train.get("grad_clip", 0.0)),
+            skip_nonfinite=bool(cfg_train.get("skip_nonfinite", False)),
+        )
 
     # optional multi-chip training: cfg.parallel = {data, model, mode}.
     # The reference's analogue is nn.DataParallel when >1 GPU

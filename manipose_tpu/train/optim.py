@@ -28,15 +28,49 @@ def make_adam(weight_decay: float = 1e-6) -> optax.GradientTransformation:
     )
 
 
-def make_optimizer(weight_decay: float = 1e-6) -> optax.GradientTransformation:
-    """Adam whose learning rate is a runtime scalar (schedulers run on host)."""
-    return optax.inject_hyperparams(
-        lambda learning_rate: optax.chain(
+def make_optimizer(
+    weight_decay: float = 1e-6,
+    grad_clip: float = 0.0,
+    skip_nonfinite: bool = False,
+) -> optax.GradientTransformation:
+    """Adam whose learning rate is a runtime scalar (schedulers run on host).
+
+    Production-robustness knobs beyond the reference's bare Adam
+    (``main_h36m_lifting.py:227-238``):
+      grad_clip > 0       — global-norm gradient clipping
+      skip_nonfinite=True — a step whose update contains any NaN/inf is
+        SKIPPED entirely (params, Adam moments and decay untouched) —
+        the bf16 loss-spike guard; implemented via
+        ``optax.apply_if_finite``, whose wrapper state
+        :func:`set_learning_rate` sees through.
+    """
+
+    def chain(learning_rate):
+        parts = []
+        if grad_clip > 0.0:
+            parts.append(optax.clip_by_global_norm(grad_clip))
+        parts += [
             optax.add_decayed_weights(weight_decay),
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
             optax.scale(-learning_rate),
-        )
-    )(learning_rate=0.0)
+        ]
+        return optax.chain(*parts)
+
+    tx = optax.inject_hyperparams(chain)(learning_rate=0.0)
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=10_000)
+    return tx
+
+
+def set_learning_rate(opt_state, lr) -> None:
+    """Write the runtime LR into an ``inject_hyperparams`` state, seeing
+    through the ``apply_if_finite`` wrapper when present (its state
+    nests the injected one under ``inner_state``)."""
+    import jax.numpy as jnp
+
+    if not hasattr(opt_state, "hyperparams"):
+        opt_state = opt_state.inner_state
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
 
 def lr_decay(step: int, lr: float, decay_step: int, gamma: float) -> float:

@@ -21,7 +21,7 @@ from flax import struct
 
 from ..geometry.skeleton import Skeleton
 from .losses import LossConfig, compute_loss
-from .optim import make_optimizer
+from .optim import make_optimizer, set_learning_rate
 
 
 class TrainState(struct.PyTreeNode):
@@ -121,7 +121,7 @@ def make_train_step(
         )
         opt_state = state.opt_state
         # inject_hyperparams exposes the LR as mutable state
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        set_learning_rate(opt_state, lr)
         updates, opt_state = tx.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -173,7 +173,7 @@ def make_multi_train_step(
             f"megastep compiled for {n_steps}"
         )
         opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        set_learning_rate(opt_state, lr)
 
         def body(carry, xy):
             params, opt_state, rng, step_i = carry

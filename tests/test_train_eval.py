@@ -161,6 +161,77 @@ class TestTrainStep:
         ]
         assert zero_paths == [], f"dead params: {zero_paths}"
 
+    def test_grad_clip_caps_update(self):
+        """grad_clip rescales by global norm BEFORE Adam: clipping
+        grads of norm 100 to 1 must equal feeding the pre-scaled
+        grads."""
+        from manipose_tpu.train.optim import set_learning_rate
+
+        model, params, x = _rmcl()
+        g_unit = jax.tree_util.tree_map(
+            lambda p: jnp.ones_like(p) / 1e3, params
+        )
+        norm = float(
+            jnp.sqrt(
+                sum(
+                    jnp.sum(g**2)
+                    for g in jax.tree_util.tree_leaves(g_unit)
+                )
+            )
+        )
+        g_scaled = jax.tree_util.tree_map(lambda g: g / norm, g_unit)
+        g_big = jax.tree_util.tree_map(lambda g: g * 100.0, g_scaled)
+
+        def one_update(tx, grads):
+            st = tx.init(params)
+            set_learning_rate(st, 1e-3)
+            updates, _ = tx.update(grads, st, params)
+            return updates
+
+        clipped = one_update(
+            make_optimizer(weight_decay=0.0, grad_clip=1.0), g_big
+        )
+        reference = one_update(make_optimizer(weight_decay=0.0), g_scaled)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(clipped),
+            jax.tree_util.tree_leaves(reference),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6
+            )
+
+    def test_skip_nonfinite_guards_params(self):
+        """skip_nonfinite=True: a step whose gradients contain NaN/inf
+        leaves params AND Adam moments untouched; the next finite step
+        proceeds normally (through the full jitted train step)."""
+        model, params, x = _rmcl()
+        rng = np.random.default_rng(9)
+        y = jnp.asarray(0.1 * rng.normal(size=(B, L, J, 3)).astype(np.float32))
+        tx = make_optimizer(weight_decay=1e-6, skip_nonfinite=True)
+        state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        step = make_train_step(
+            model.apply, LossConfig(rmcl=True), SKEL, tx, donate=False
+        )
+        x_bad = jnp.asarray(x).at[0, 0, 0, 0].set(jnp.nan)
+        state1, m = step(state, x_bad, y, 1e-3)
+        assert not np.isfinite(float(m["loss"]))
+        for p0, p1 in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(state1.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        # a finite step still updates
+        state2, m2 = step(state1, x, y, 1e-3)
+        assert np.isfinite(float(m2["loss"]))
+        changed = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(state1.params),
+                jax.tree_util.tree_leaves(state2.params),
+            )
+        )
+        assert changed
+
     def test_megastep_matches_sequential_steps(self):
         """K scan-fused optimizer steps == K single-step dispatches:
         same per-step losses, same final params (identical rng
