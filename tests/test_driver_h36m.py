@@ -459,3 +459,35 @@ def test_debug_run_with_mup(synthetic_h36m, tmp_path):
 
     result = main(cfg)
     assert result is not None and np.isfinite(result)
+
+
+def test_viz_driver_end_to_end(synthetic_h36m, tmp_path):
+    """scripts/viz.py renders a side-by-side animation from the real
+    data pipeline + a freshly-initialized model (reference hpe/viz.py
+    driver surface; falls back to GIF without ffmpeg)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [
+            sys.executable, str(repo / "scripts" / "viz.py"),
+            f"data.data_dir={synthetic_h36m}",
+            f"run.output_dir={tmp_path}",
+            "data.seq_len=9", "data.data=one",
+            "data.actions=walking,eating",
+            "train.batch_size_test=4",
+            "model.layers=2", "model.channels=32", "model.nheads=4",
+            "model.layers_seg=2", "model.channels_seg=16",
+            "model.nheads_seg=4", "multi_hyp.n_hyp=2",
+            "viz.viz_subject=S11", "viz.viz_action=walking",
+            "viz.viz_limit=4", "viz.viz_size=2", "viz.hypothesis=false",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=repo,
+        env={**__import__("os").environ, "MANIPOSE_PLATFORM": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "Rendered:" in out.stdout, out.stdout
+    rendered = out.stdout.rsplit("Rendered:", 1)[1].strip()
+    assert Path(rendered).exists() and Path(rendered).stat().st_size > 0
