@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.pipeline import prefetch
 from ..geometry.skeleton import Skeleton
 from ..metrics.losses import wta_l2_loss_and_activate_head
 from ..models.rmcl import aggregate_hypotheses, poses_from_hyp_idx
@@ -168,13 +169,10 @@ def evaluate(
     seq_len = joints = None
     compute_oracle = cfg.rmcl and cfg.compute_oracle
 
-    for batch in loader:
-        out = step(
-            params,
-            jnp.asarray(batch.pose_2d),
-            jnp.asarray(batch.pose_3d),
-            jnp.asarray(batch.valid),
-        )
+    def harvest(out, batch):
+        """Pull one dispatched step's outputs to host (forces its
+        completion) and accumulate."""
+        nonlocal sum_err, oracle_sum, psoracle_sum, n, seq_len, joints
         n_b = int(batch.valid.sum())
         seq_len, joints = batch.pose_3d.shape[1:3]
         sum_err += float(out["sum_jointerr"])
@@ -194,6 +192,25 @@ def evaluate(
             oracle_sum += float(out["oracle_sum_jointerr"])
             psoracle_sum += float(out["psoracle_sum_jointerr"])
             all_oracle.append(np.asarray(out["oracle_preds"][keep]) * 1000.0)
+
+    # depth-1 software pipeline: dispatch batch i+1 BEFORE harvesting
+    # batch i, so the device computes while the host pulls/accumulates
+    # the previous outputs (harvest's float()/asarray are per-batch
+    # completion barriers — issuing them eagerly would serialize host
+    # and device); prefetch() overlaps host window assembly on top.
+    pending = None
+    for batch in prefetch(loader):
+        out = step(
+            params,
+            jnp.asarray(batch.pose_2d),
+            jnp.asarray(batch.pose_3d),
+            jnp.asarray(batch.valid),
+        )
+        if pending is not None:
+            harvest(*pending)
+        pending = (out, batch)
+    if pending is not None:
+        harvest(*pending)
 
     assert n > 0 and seq_len is not None, (
         "evaluate() received an empty loader (no windows: check seq_len vs "
