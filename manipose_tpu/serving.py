@@ -292,6 +292,18 @@ class Predictor:
         )  # (W, L, J, 2)
 
         outs, all_hyps, all_scores = [], [], []
+
+        def harvest(out, n_valid):
+            agg, hyps, scores = out
+            outs.append(np.asarray(agg[:n_valid]))
+            if return_hypotheses and self.rmcl:
+                all_hyps.append(np.asarray(hyps[:n_valid]))
+                all_scores.append(np.asarray(scores[:n_valid]))
+
+        # depth-1 pipeline: dispatch the next call before pulling the
+        # previous outputs (np.asarray is a completion barrier), so the
+        # device computes while the host copies
+        pending = None
         for b0 in range(0, n_windows, self.batch_size):
             batch = clips[b0 : b0 + self.batch_size]
             n_valid = batch.shape[0]
@@ -300,13 +312,12 @@ class Predictor:
                     batch[-1:], self.batch_size - n_valid, axis=0
                 )
                 batch = np.concatenate([batch, pad], axis=0)
-            agg, hyps, scores = self._forward(
-                self.variables, jnp.asarray(batch)
-            )
-            outs.append(np.asarray(agg[:n_valid]))
-            if return_hypotheses and self.rmcl:
-                all_hyps.append(np.asarray(hyps[:n_valid]))
-                all_scores.append(np.asarray(scores[:n_valid]))
+            out = self._forward(self.variables, jnp.asarray(batch))
+            if pending is not None:
+                harvest(*pending)
+            pending = (out, n_valid)
+        if pending is not None:
+            harvest(*pending)
 
         poses = np.concatenate(outs, axis=0).reshape(-1, j, 3)[:n_frames]
         if return_hypotheses:
