@@ -327,7 +327,7 @@ def train(
             # --- validation loss ---
             if (epoch + 1) % cfg_train.valid_epoch_interval == 0:
                 val_losses = []
-                for batch in valid_loader:
+                for batch in prefetch(valid_loader):
                     vx2d, vx3d = _place(batch.pose_2d, batch.pose_3d)
                     # mirror the train path: under a mesh keep the full
                     # padded batch (static shard shapes, one compiled
@@ -340,8 +340,13 @@ def train(
                         else int(batch.valid.sum())
                     )
                     m = val_step(state.params, vx2d, vx3d, n_valid_val)
-                    val_losses.append(float(m["loss"]))
-                epoch_val = float(np.mean(val_losses)) if val_losses else np.inf
+                    # device scalar; float()ing here would sync per batch
+                    val_losses.append(m["loss"])
+                epoch_val = (
+                    float(np.mean([float(x) for x in val_losses]))
+                    if val_losses
+                    else np.inf
+                )
                 valid_loss_hist.append(epoch_val)
                 metrics_to_log["val_loss"] = epoch_val
 
