@@ -123,6 +123,17 @@ class TestH36MDriver:
         table_path = tmp_path / "default" / "protocol_1_err.csv"
         assert table_path.exists()
 
+    def test_debug_run_rot4d(self, synthetic_h36m, tmp_path):
+        """model.rot_dim=4 (the reference's alternate rotation
+        representation, ``rotation_tools.py:60-116``) trains and tests
+        end-to-end through the full driver."""
+        from manipose_tpu.drivers.h36m import main
+
+        cfg = _cfg(synthetic_h36m, tmp_path, extra=["model.rot_dim=4"])
+        best = main(cfg)
+        assert best is not None and np.isfinite(best)
+        assert (tmp_path / "default" / "protocol_1_err.csv").exists()
+
     def test_debug_run_megastep(self, synthetic_h36m, tmp_path):
         """steps_per_call=2 fuses pairs of optimizer steps into one
         dispatch; the driver must still train end-to-end (incl. the
