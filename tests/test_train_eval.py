@@ -232,6 +232,37 @@ class TestTrainStep:
         )
         assert changed
 
+    def test_megastep_skips_nonfinite_inner_step(self):
+        """skip_nonfinite composes with the megastep: a NaN batch in
+        the middle of the scan leaves params untouched for THAT inner
+        step while the surrounding steps still update (the
+        apply_if_finite state rides the scan carry)."""
+        from manipose_tpu.train import make_multi_train_step
+
+        K = 3
+        model, params, x = _rmcl()
+        rng = np.random.default_rng(13)
+        xs = np.stack([np.asarray(x)] * K).astype(np.float32)
+        xs[1, 0, 0, 0, 0] = np.nan  # poison the middle inner step
+        ys = 0.1 * rng.normal(size=(K, B, L, J, 3)).astype(np.float32)
+        tx = make_optimizer(weight_decay=1e-6, skip_nonfinite=True)
+        state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        multi = make_multi_train_step(
+            model.apply, LossConfig(rmcl=True), SKEL, tx, n_steps=K,
+            donate=False,
+        )
+        new_state, metrics = multi(
+            state, jnp.asarray(xs), jnp.asarray(ys), 1e-3
+        )
+        losses = np.asarray(metrics["loss"], np.float64)
+        assert np.isfinite(losses[0]) and np.isfinite(losses[2])
+        assert not np.isfinite(losses[1])
+        # the run still produced finite params (step 2 applied on top of
+        # step 0's result; the poisoned update was dropped whole)
+        for leaf in jax.tree_util.tree_leaves(new_state.params):
+            assert np.isfinite(np.asarray(leaf)).all()
+        assert int(new_state.step) == K
+
     def test_megastep_matches_sequential_steps(self):
         """K scan-fused optimizer steps == K single-step dispatches:
         same per-step losses, same final params (identical rng
