@@ -137,3 +137,64 @@ def test_make_synthetic_3dhp_roundtrip(tmp_path):
     # screen normalization puts 2D in [-1, ~1]
     for q2 in (train.poses_2d[0], test.poses_2d[4]):  # TS5 is 1920x1080
         assert np.abs(q2).max() <= 1.0 + 1e-6
+
+
+def test_robustness_sweep_cli(tmp_path):
+    """The miss-pattern sweep evaluates the grid end-to-end and tables
+    per-setting MPJPE (clean row first)."""
+    import json
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "h36m"
+    data_dir.mkdir()
+    subjects = ["S1", "S9", "S11"]
+    actions = ["Walking"]
+    n_frames = 40
+    np.savez(
+        data_dir / "data_3d_h36m.npz",
+        positions_3d={
+            s: {a: rng.normal(scale=0.3, size=(n_frames, 32, 3)).astype(
+                np.float32) for a in actions}
+            for s in subjects
+        },
+    )
+    np.savez(
+        data_dir / "data_2d_h36m_cpn_ft_h36m_dbb.npz",
+        positions_2d={
+            s: {a: [rng.uniform(0, 1000, size=(n_frames, 17, 2)).astype(
+                np.float32) for _ in range(4)] for a in actions}
+            for s in subjects
+        },
+    )
+
+    out_csv = tmp_path / "sweep.csv"
+    stdout = _run([
+        "tools/robustness_sweep.py", "--miss-types", "random", "noisy",
+        "--miss-rates", "0.2", "--noise-sigmas", "5", "15",
+        "--out", str(out_csv),
+        f"data.data_dir={data_dir}", "data.seq_len=9", "data.data=one",
+        "data.actions=walking", "train.batch_size_test=4",
+        "model.layers=2", "model.channels=32", "model.nheads=4",
+        "model.layers_seg=2", "model.channels_seg=16",
+        "model.nheads_seg=4", "multi_hyp.n_hyp=2",
+    ])
+    rows = [json.loads(line) for line in stdout.strip().splitlines()
+            if line.startswith("{")]
+    summary = rows[-1]
+    settings = rows[:-1]
+    assert [r["miss_type"] for r in settings] == [
+        "no_miss", "random", "noisy", "noisy"
+    ]
+    # noisy sweeps noise_sigma (rate is meaningless for it, as in the
+    # reference) — the two sigma settings must differ
+    noisy = [r for r in settings if r["miss_type"] == "noisy"]
+    assert [r["noise_sigma"] for r in noisy] == [5.0, 15.0]
+    assert noisy[0]["mpjpe_mm"] != noisy[1]["mpjpe_mm"]
+    assert all(np.isfinite(r["mpjpe_mm"]) for r in settings)
+    assert all("oracle_mpjpe_mm" in r for r in settings)  # rMCL default
+    assert summary["n_settings"] == 4
+    assert out_csv.exists()
+    header = out_csv.read_text().splitlines()[0]
+    assert header.startswith("miss_type,miss_rate,noise_sigma,mpjpe_mm")

@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Occlusion-robustness sweep: eval a checkpoint across keypoint-miss
+patterns and rates.
+
+The reference exposes its 5 input-corruption patterns only one config
+at a time (``data.miss_type``/``miss_rate``,
+``hpe/mh_so3_hpe/data/generators.py:162-214``; conf
+``hpe/conf/config.yaml:55-57``); this tool sweeps the grid on the test
+split and tables MPJPE (+oracle for rMCL) per (miss_type, miss_rate) —
+the paper's robustness-to-occlusion question as one command.
+
+``noisy`` ignores ``miss_rate`` in the reference semantics
+(``generators.py:208-211`` draws N(0, noise_sigma) regardless), so it
+is swept over ``--noise-sigmas`` (pixel std) instead of the rate grid.
+
+  python tools/robustness_sweep.py --checkpoint ckpt.pth \\
+      --miss-types random structured_joint structured_frame noisy \\
+      --miss-rates 0.1 0.2 0.4 --noise-sigmas 5 15 --out sweep.csv \\
+      data.data_dir=/path/to/h36m [overrides...]
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import os
+
+import jax
+
+from manipose_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-tpu-cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+MISS_TYPES = (
+    "no_miss", "random", "random_left_arm_right_leg", "structured_joint",
+    "structured_frame", "noisy",
+)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", default="",
+                    help=".pth (reference format) or orbax directory")
+    ap.add_argument("--tag", default="best_val")
+    ap.add_argument("--miss-types", nargs="+", default=["random", "noisy"],
+                    choices=MISS_TYPES)
+    ap.add_argument("--miss-rates", nargs="+", type=float,
+                    default=[0.1, 0.2, 0.4])
+    ap.add_argument("--noise-sigmas", nargs="+", type=float, default=[5.0],
+                    help="pixel noise stds for the 'noisy' type (which "
+                    "ignores miss_rate, as in the reference)")
+    ap.add_argument("--out", type=Path, default=None,
+                    help="CSV output path (also prints a JSON summary)")
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+
+    from manipose_tpu.config import load_config
+    from manipose_tpu.drivers.common import (
+        create_loader,
+        get_subjects_and_actions,
+        init_model_params,
+        instantiate_model,
+    )
+    from manipose_tpu.drivers.h36m import fetch_and_prepare_data
+    from manipose_tpu.eval.engine import EvalConfig, evaluate
+    from manipose_tpu.train.checkpoint import load_torch_checkpoint
+
+    cfg = load_config("config", overrides=args.overrides)
+    keypoints, dataset = fetch_and_prepare_data(cfg)
+    (s_train, s_val, s_test), action_filter = get_subjects_and_actions(
+        dataset, cfg
+    )
+    model, rmcl = instantiate_model(cfg, dataset.skeleton)
+    if args.checkpoint.endswith(".pth"):
+        variables = jax.tree_util.tree_map(
+            jnp.asarray,
+            load_torch_checkpoint(args.checkpoint, cfg.model.arch),
+        )
+    elif args.checkpoint:
+        from manipose_tpu.train.checkpoint import restore_checkpoint
+
+        variables = init_model_params(model, cfg, dataset.skeleton.num_joints)
+        variables = restore_checkpoint(args.checkpoint, args.tag, variables)
+    else:
+        print("WARNING: no --checkpoint; sweeping random weights "
+              "(smoke-test mode)")
+        variables = init_model_params(model, cfg, dataset.skeleton.num_joints)
+
+    eval_cfg = EvalConfig(tta=cfg.train.tta, rmcl=rmcl, compute_oracle=rmcl)
+
+    grid = [("no_miss", 0.0, 0.0)]
+    for t in args.miss_types:
+        if t == "no_miss":
+            continue
+        if t == "noisy":
+            grid += [("noisy", 0.0, s) for s in args.noise_sigmas]
+        else:
+            grid += [(t, r, 0.0) for r in args.miss_rates]
+    rows = []
+    for miss_type, rate, sigma in grid:
+        sweep_cfg = load_config(
+            "config",
+            overrides=list(args.overrides)
+            + [f"data.miss_type={miss_type}", f"data.miss_rate={rate}"]
+            + ([f"data.noise_sigma={sigma}"] if miss_type == "noisy" else []),
+        )
+        loader = create_loader(
+            keypoints, dataset, action_filter, s_test, sweep_cfg,
+            train=False,
+        )
+        results = evaluate(
+            model.apply, variables, loader, dataset.skeleton, eval_cfg
+        )
+        row = {
+            "miss_type": miss_type,
+            "miss_rate": rate,
+            "noise_sigma": sigma,
+            "mpjpe_mm": round(float(results[2]), 3),
+        }
+        if rmcl:
+            row["oracle_mpjpe_mm"] = round(float(results[3]), 3)
+            row["ps_oracle_mpjpe_mm"] = round(float(results[4]), 3)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.out:
+        import csv
+
+        with open(args.out, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            writer.writeheader()
+            writer.writerows(rows)
+        print(f"wrote {args.out}")
+    clean = rows[0]["mpjpe_mm"]
+    worst = max(r["mpjpe_mm"] for r in rows)
+    print(json.dumps({
+        "clean_mpjpe_mm": clean,
+        "worst_mpjpe_mm": worst,
+        "max_degradation_mm": round(worst - clean, 3),
+        "n_settings": len(rows),
+    }))
+    return rows
+
+
+if __name__ == "__main__":
+    main()
