@@ -198,3 +198,35 @@ def test_robustness_sweep_cli(tmp_path):
     assert out_csv.exists()
     header = out_csv.read_text().splitlines()[0]
     assert header.startswith("miss_type,miss_rate,noise_sigma,mpjpe_mm")
+
+
+def test_robustness_sweep_cli_3dhp(tmp_path):
+    """--dataset 3dhp runs the grid through the MPI-INF-3DHP test split
+    and adds the protocol's PCK@150/AUC columns (oracle + aggregated
+    for rMCL, as in the reference's main_3dhp.py:882-910)."""
+    import json
+
+    import numpy as np
+
+    out = tmp_path / "synth_3dhp"
+    _run([
+        "tools/make_synthetic_3dhp.py", "--out", str(out),
+        "--train-seqs", "1", "--cams", "1", "--frames", "40",
+        "--test-frames", "40",
+    ])
+    stdout = _run([
+        "tools/robustness_sweep.py", "--dataset", "3dhp",
+        "--miss-types", "random", "--miss-rates", "0.3", "--",
+        f"data.data_dir={out}", "data.seq_len=9",
+        "train.batch_size_test=4", "model.layers=2", "model.channels=32",
+        "model.nheads=4", "model.layers_seg=2", "model.channels_seg=16",
+        "model.nheads_seg=4", "multi_hyp.n_hyp=2",
+    ])
+    rows = [json.loads(line) for line in stdout.strip().splitlines()
+            if line.startswith("{")]
+    settings = rows[:-1]
+    assert [r["miss_type"] for r in settings] == ["no_miss", "random"]
+    for r in settings:
+        for key in ("pck", "auc", "agg_pck", "agg_auc"):
+            assert np.isfinite(r[key]) and 0.0 <= r[key] <= 100.0
+    assert rows[-1]["n_settings"] == 2

@@ -17,6 +17,11 @@ is swept over ``--noise-sigmas`` (pixel std) instead of the rate grid.
       --miss-types random structured_joint structured_frame noisy \\
       --miss-rates 0.1 0.2 0.4 --noise-sigmas 5 15 --out sweep.csv \\
       data.data_dir=/path/to/h36m [overrides...]
+
+``--dataset 3dhp`` runs the grid through the MPI-INF-3DHP test split
+instead (``data=mpi_inf_3dhp`` is implied) and adds the protocol's
+PCK@150/AUC columns (oracle-based for rMCL, as in
+``hpe/main_3dhp.py:882-910``).
 """
 
 import argparse
@@ -52,6 +57,7 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default="",
                     help=".pth (reference format) or orbax directory")
     ap.add_argument("--tag", default="best_val")
+    ap.add_argument("--dataset", choices=["h36m", "3dhp"], default="h36m")
     ap.add_argument("--miss-types", nargs="+", default=["random", "noisy"],
                     choices=MISS_TYPES)
     ap.add_argument("--miss-rates", nargs="+", type=float,
@@ -66,21 +72,45 @@ def main(argv=None):
 
     from manipose_tpu.config import load_config
     from manipose_tpu.drivers.common import (
-        create_loader,
-        get_subjects_and_actions,
         init_model_params,
         instantiate_model,
     )
-    from manipose_tpu.drivers.h36m import fetch_and_prepare_data
     from manipose_tpu.eval.engine import EvalConfig, evaluate
     from manipose_tpu.train.checkpoint import load_torch_checkpoint
 
-    cfg = load_config("config", overrides=args.overrides)
-    keypoints, dataset = fetch_and_prepare_data(cfg)
-    (s_train, s_val, s_test), action_filter = get_subjects_and_actions(
-        dataset, cfg
-    )
-    model, rmcl = instantiate_model(cfg, dataset.skeleton)
+    base_overrides = list(args.overrides)
+    if args.dataset == "3dhp":
+        base_overrides = ["data=mpi_inf_3dhp"] + base_overrides
+    cfg = load_config("config", overrides=base_overrides)
+
+    if args.dataset == "3dhp":
+        from manipose_tpu.data.dhp3 import Dataset3DHP
+        from manipose_tpu.drivers.dhp3 import create_loader as make_loader_3dhp
+
+        dataset = Dataset3DHP(cfg.data.data_dir, train=False)
+        skeleton = dataset.skeleton
+
+        def make_loader(sweep_cfg):
+            return make_loader_3dhp(dataset, sweep_cfg, train=False)
+
+    else:
+        from manipose_tpu.drivers.common import (
+            create_loader,
+            get_subjects_and_actions,
+        )
+        from manipose_tpu.drivers.h36m import fetch_and_prepare_data
+
+        keypoints, dataset = fetch_and_prepare_data(cfg)
+        (_, _, s_test), action_filter = get_subjects_and_actions(dataset, cfg)
+        skeleton = dataset.skeleton
+
+        def make_loader(sweep_cfg):
+            return create_loader(
+                keypoints, dataset, action_filter, s_test, sweep_cfg,
+                train=False,
+            )
+
+    model, rmcl = instantiate_model(cfg, skeleton)
     if args.checkpoint.endswith(".pth"):
         variables = jax.tree_util.tree_map(
             jnp.asarray,
@@ -89,12 +119,12 @@ def main(argv=None):
     elif args.checkpoint:
         from manipose_tpu.train.checkpoint import restore_checkpoint
 
-        variables = init_model_params(model, cfg, dataset.skeleton.num_joints)
+        variables = init_model_params(model, cfg, skeleton.num_joints)
         variables = restore_checkpoint(args.checkpoint, args.tag, variables)
     else:
         print("WARNING: no --checkpoint; sweeping random weights "
               "(smoke-test mode)")
-        variables = init_model_params(model, cfg, dataset.skeleton.num_joints)
+        variables = init_model_params(model, cfg, skeleton.num_joints)
 
     eval_cfg = EvalConfig(tta=cfg.train.tta, rmcl=rmcl, compute_oracle=rmcl)
 
@@ -110,17 +140,12 @@ def main(argv=None):
     for miss_type, rate, sigma in grid:
         sweep_cfg = load_config(
             "config",
-            overrides=list(args.overrides)
+            overrides=base_overrides
             + [f"data.miss_type={miss_type}", f"data.miss_rate={rate}"]
             + ([f"data.noise_sigma={sigma}"] if miss_type == "noisy" else []),
         )
-        loader = create_loader(
-            keypoints, dataset, action_filter, s_test, sweep_cfg,
-            train=False,
-        )
-        results = evaluate(
-            model.apply, variables, loader, dataset.skeleton, eval_cfg
-        )
+        loader = make_loader(sweep_cfg)
+        results = evaluate(model.apply, variables, loader, skeleton, eval_cfg)
         row = {
             "miss_type": miss_type,
             "miss_rate": rate,
@@ -130,6 +155,41 @@ def main(argv=None):
         if rmcl:
             row["oracle_mpjpe_mm"] = round(float(results[3]), 3)
             row["ps_oracle_mpjpe_mm"] = round(float(results[4]), 3)
+        if args.dataset == "3dhp":
+            # PCK@150/AUC on the oracle poses for rMCL (the protocol's
+            # headline, ``hpe/main_3dhp.py:882-910``) + the aggregated
+            # ones; on the plain predictions otherwise.
+            import numpy as np
+
+            from manipose_tpu.metrics import (
+                keypoint_3d_auc,
+                keypoint_3d_pck,
+            )
+
+            tgt = jnp.asarray(
+                np.concatenate(results[1], axis=0) * 1000.0
+            ).reshape(-1, skeleton.num_joints, 3)
+
+            def _pck_auc(pred_list):
+                p = jnp.asarray(np.concatenate(pred_list, axis=0)).reshape(
+                    -1, skeleton.num_joints, 3
+                )
+                return (
+                    float(keypoint_3d_pck(p, tgt, mask=None, threshold=150.0)),
+                    float(keypoint_3d_auc(p, tgt, mask=None)),
+                )
+
+            if rmcl:
+                row["pck"], row["auc"] = (
+                    round(v, 3) for v in _pck_auc(results[5])
+                )
+                agg_pck, agg_auc = _pck_auc(results[0])
+                row["agg_pck"] = round(agg_pck, 3)
+                row["agg_auc"] = round(agg_auc, 3)
+            else:
+                row["pck"], row["auc"] = (
+                    round(v, 3) for v in _pck_auc(results[0])
+                )
         rows.append(row)
         print(json.dumps(row), flush=True)
 
