@@ -147,6 +147,22 @@ def run_test_protocol(
         save_csv_log(output_dir, head, values.astype(str), is_create=True,
                      file_name=name)
     logger.log(metrics, step=0)
+    # Persist + print the headline metrics (PCK/AUC, MPSSE, MPSCE, ...)
+    # themselves: the reference writes them to their own CSV at the end of
+    # its test block (``main_3dhp.py:931-988``). Without this, an
+    # eval-only run (run.train=false) would leave no record of its result
+    # (the train path's metrics.csv is never written then).
+    head = list(metrics.keys())
+    save_csv_log(
+        output_dir,
+        head,
+        np.asarray([[repr(float(metrics[k])) for k in head]]),
+        is_create=True,
+        file_name="test_metrics",
+    )
+    print("==> 3DHP test metrics:")
+    for k in head:
+        print(f"    {k}: {float(metrics[k]):.4f}")
     return metrics
 
 

@@ -141,3 +141,14 @@ class TestDHP3Driver:
             assert key in metrics and np.isfinite(metrics[key]), key
         assert 0 <= metrics["pck"] <= 100
         assert 0 <= metrics["auc"] <= 100
+        # eval-only runs must persist the headline metrics themselves
+        # (reference writes its own PCK/AUC CSV, main_3dhp.py:931-988)
+        csv_path = tmp_path / "test_metrics.csv"
+        assert csv_path.exists()
+        import csv as _csv
+
+        with open(csv_path) as f:
+            rows = list(_csv.DictReader(f))
+        assert len(rows) == 1
+        for key in ["pck", "auc", "agg_pck", "agg_auc", "best_val_mpjpe"]:
+            assert np.isclose(float(rows[0][key]), metrics[key]), key
