@@ -118,6 +118,27 @@ def init_model_params(model, cfg: Config, num_joints: int):
     return params
 
 
+def maybe_restore_eval_params(variables, cfg: Config):
+    """Eval-only restore of this framework's OWN checkpoints.
+
+    ``run.checkpoint_model`` covers converted torch ``.pth`` files (the
+    reference's eval-from-checkpoint path, ``main_h36m_lifting.py:755-761``)
+    and ``run.checkpoint_params`` resumes training — but a user who
+    trained HERE holds orbax best-tag dirs (``best_mpjpe``, ...). When
+    ``run.train`` is false and ``run.checkpoint_params`` points at such
+    a tag dir, load its params for the test protocol instead of evaluating
+    freshly initialized weights.
+    """
+    path = cfg.run.get("checkpoint_params", "")
+    if cfg.run.train or not path:
+        return variables
+    from ..train.checkpoint import restore_checkpoint
+
+    tag_dir = Path(path)
+    print(f"==> eval-only: restoring params from {tag_dir}")
+    return restore_checkpoint(tag_dir.parent, tag_dir.name, variables)
+
+
 def get_subjects_and_actions(dataset, cfg: Config):
     """(``main_h36m_lifting.py:543-566``)"""
     if cfg.data.use_valid:

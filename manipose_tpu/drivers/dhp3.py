@@ -35,7 +35,11 @@ from ..metrics import (
 from ..train.checkpoint import load_torch_checkpoint
 from ..train.loop import train as train_loop
 from ..utils.logging import MetricLogger, save_csv_log
-from .common import init_model_params, instantiate_model
+from .common import (
+    init_model_params,
+    instantiate_model,
+    maybe_restore_eval_params,
+)
 
 
 def create_loader(dataset: Dataset3DHP, cfg: Config, train: bool = True):
@@ -191,6 +195,7 @@ def main(cfg: Config) -> Optional[float]:
         variables = jax.tree_util.tree_map(jnp.asarray, variables)
     else:
         variables = init_model_params(model, cfg, skeleton.num_joints)
+        variables = maybe_restore_eval_params(variables, cfg)
 
     logger = MetricLogger(
         mlflow_on=cfg.run.mlflow_on, experiment=cfg.run.experiment

@@ -47,6 +47,7 @@ from .common import (
     get_subjects_and_actions,
     init_model_params,
     instantiate_model,
+    maybe_restore_eval_params,
 )
 
 ALL_TEST_ACTIONS = [
@@ -269,6 +270,7 @@ def main(cfg: Config) -> Optional[float]:
         variables = jax.tree_util.tree_map(jnp.asarray, variables)
     else:
         variables = init_model_params(model, cfg, dataset.skeleton.num_joints)
+        variables = maybe_restore_eval_params(variables, cfg)
 
     logger = MetricLogger(
         mlflow_on=cfg.run.mlflow_on, experiment=cfg.run.experiment

@@ -80,28 +80,31 @@ class TestDataset3DHP:
         assert a.joints_left == b.joints_left
 
 
+def cfg_overrides(data_dir, out_dir):
+    return [
+        "data=mpi_inf_3dhp",
+        f"data.data_dir={data_dir}",
+        f"run.output_dir={out_dir}",
+        "data.seq_len=9",
+        "train=debug",
+        "train.batch_size=4",
+        "train.batch_size_test=4",
+        "model.layers=2",
+        "model.channels=32",
+        "model.nheads=4",
+        "model.layers_seg=2",
+        "model.channels_seg=16",
+        "model.nheads_seg=4",
+        "multi_hyp.n_hyp=2",
+    ]
+
+
 class TestDHP3Driver:
     def test_full_debug_run(self, synthetic_3dhp, tmp_path):
         from manipose_tpu.drivers.dhp3 import main
 
         cfg = load_config(
-            "config",
-            overrides=[
-                "data=mpi_inf_3dhp",
-                f"data.data_dir={synthetic_3dhp}",
-                f"run.output_dir={tmp_path}",
-                "data.seq_len=9",
-                "train=debug",
-                "train.batch_size=4",
-                "train.batch_size_test=4",
-                "model.layers=2",
-                "model.channels=32",
-                "model.nheads=4",
-                "model.layers_seg=2",
-                "model.channels_seg=16",
-                "model.nheads_seg=4",
-                "multi_hyp.n_hyp=2",
-            ],
+            "config", overrides=cfg_overrides(synthetic_3dhp, tmp_path)
         )
         best = main(cfg)
         assert best is not None and np.isfinite(best)
@@ -109,6 +112,32 @@ class TestDHP3Driver:
         for artifact in ["seg_symmetry.csv", "seg_consistency.csv",
                          "jw_err.csv", "cw_err.csv"]:
             assert (out / artifact).exists(), artifact
+
+        # eval-only from OUR OWN trained best-tag checkpoint
+        # (run.checkpoint_params + run.train=false) reproduces the
+        # train run's test protocol exactly
+        import csv as _csv
+
+        cfg2 = load_config(
+            "config",
+            overrides=cfg_overrides(synthetic_3dhp, tmp_path) + [
+                "run.train=false",
+                "run.experiment=evalonly",
+                f"run.checkpoint_params={out / 'best_mpjpe'}",
+            ],
+        )
+        assert main(cfg2) is None  # no training happened
+
+        def read_metrics(path):
+            with open(path) as f:
+                return list(_csv.DictReader(f))[0]
+
+        trained = read_metrics(out / "test_metrics.csv")
+        evalonly = read_metrics(tmp_path / "evalonly" / "test_metrics.csv")
+        for key in ["pck", "auc", "agg_pck", "agg_auc", "best_val_mpjpe"]:
+            assert np.isclose(
+                float(evalonly[key]), float(trained[key]), rtol=1e-6
+            ), key
 
     def test_eval_only_metrics(self, synthetic_3dhp, tmp_path):
         from manipose_tpu.data.dhp3 import Dataset3DHP
