@@ -264,6 +264,21 @@ class Predictor:
         return lambda x: exported.call(jnp.asarray(x, jnp.float32))
 
     # ------------------------------------------------------------------
+    def stream(self, stride: int = 1, lookahead: Optional[int] = None):
+        """Open a real-time :class:`~manipose_tpu.streaming.StreamingSession`.
+
+        ``session.push(frames)`` feeds live 2D keypoints and returns 3D
+        poses as they clear the ``lookahead`` margin (default
+        ``seq_len // 2`` — center-frame quality from the bidirectional
+        trunk; ``0`` is fully causal); ``session.flush()`` drains the
+        tail. No reference counterpart (offline drivers only) — this is
+        the framework's live-serving surface.
+        """
+        from .streaming import StreamingSession
+
+        return StreamingSession(self, stride=stride, lookahead=lookahead)
+
+    # ------------------------------------------------------------------
     def predict_video(
         self, keypoints_2d: np.ndarray, return_hypotheses: bool = False
     ):
