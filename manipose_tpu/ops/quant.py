@@ -140,7 +140,7 @@ def int8_speedup(m: int = 8192, k: int = 512, n: int = 512,
     )
     fb = jax.jit(lambda a, b: a @ b)
 
-    def rate(f, a, b, acc_dtype):
+    def rate(f, a, b):
         _ = float(jnp.sum(f(a, b).astype(jnp.float32)))  # warm/compile
         t0 = time.perf_counter()
         s = jnp.zeros((), jnp.float32)
@@ -154,8 +154,8 @@ def int8_speedup(m: int = 8192, k: int = 512, n: int = 512,
     # throwaway round first: the first timed window after a remote
     # compile reads up to ~10x slow (cache-write side effects on the
     # tunnel backend) — measured 0.08 then 1.0 for the same ratio
-    rate(f8, x8, w8, jnp.int32)
-    rate(fb, xb, wb, jnp.bfloat16)
-    r8 = rate(f8, x8, w8, jnp.int32)
-    rb = rate(fb, xb, wb, jnp.bfloat16)
+    rate(f8, x8, w8)
+    rate(fb, xb, wb)
+    r8 = rate(f8, x8, w8)
+    rb = rate(fb, xb, wb)
     return r8 / rb

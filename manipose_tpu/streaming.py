@@ -94,6 +94,15 @@ class StreamingSession:
         lo = self.seq_len - self.lookahead - self.stride
         while self._count - self.lookahead - self._emitted >= self.stride:
             window = self._window()[None]  # (1, L, J, 2)
+            if p.mesh is not None:
+                # a data-parallel forward is compiled with the batch
+                # sharded over the mesh: a batch of 1 neither divides
+                # over the devices nor matches the compiled shape —
+                # replicate the window up to the static batch and read
+                # row 0
+                window = np.broadcast_to(
+                    window, (p.batch_size,) + window.shape[1:]
+                )
             agg, _, _ = p._forward(p.variables, jnp.asarray(window))
             block = np.asarray(agg[0, lo : lo + self.stride])
             # flush padding can overshoot: the window end advances in

@@ -116,3 +116,23 @@ class TestStreaming:
     def test_default_lookahead_is_center(self, predictor):
         sess = predictor.stream()
         assert sess.lookahead == SEQ_LEN // 2
+
+    def test_data_parallel_predictor_streams(self, predictor):
+        """A DP predictor's forward is compiled with the batch sharded
+        over the mesh; streaming must pad its batch-of-1 window up to
+        the static batch instead of crashing on the sharding divisor."""
+        import jax
+
+        cfg = load_config("config", overrides=OVERRIDES)
+        dp = Predictor(
+            cfg=cfg, batch_size=len(jax.devices()), tta=True,
+            data_parallel=True,
+        )
+        rng = np.random.default_rng(4)
+        video = rng.normal(size=(2 * SEQ_LEN, 17, 2)).astype(np.float32)
+        got = stream_all(dp, video, stride=3, lookahead=2)
+        assert got.shape == (2 * SEQ_LEN, 17, 3)
+        # same weights (same cfg seed): must match the single-device
+        # session up to cross-graph float noise
+        ref = stream_all(predictor, video, stride=3, lookahead=2)
+        np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -38,11 +38,9 @@ import jax
 from manipose_tpu.utils.platform import apply_platform_env
 
 apply_platform_env()
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-tpu-cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from manipose_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 import jax.numpy as jnp  # noqa: E402
 

@@ -53,20 +53,18 @@ def main(argv=None):
 
     from manipose_tpu.utils.platform import apply_platform_env
 
-    apply_platform_env()
+    platform = apply_platform_env()
     import jax.numpy as jnp
     from flax import linen as nn
 
-    default_cache = (
+    from manipose_tpu.utils.compile_cache import enable_compilation_cache
+
+    # CPU runs share the test suite's cache, device runs the driver cache
+    enable_compilation_cache(
         "/root/.cache/jax-test-cache"
-        if os.environ.get("MANIPOSE_PLATFORM") == "cpu"
-        else "/root/.cache/jax-tpu-cache"
+        if platform == "cpu" and not os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        else None
     )
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", default_cache),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from manipose_tpu.geometry import h36m_skeleton_17
     from manipose_tpu.models import ManifoldConfig, RMCLManifoldMixSTE
