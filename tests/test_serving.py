@@ -46,6 +46,36 @@ class TestPredictor:
         assert hyps.shape[1] == 2 and hyps.shape[-1] == 3  # (W, H, L, J, 3)
         np.testing.assert_allclose(scores.sum(axis=1), 1.0, atol=1e-5)
 
+    def test_tta_semantics_pinned(self, predictor):
+        """The serving forward must equal the explicit two-applies TTA
+        form (the reference's semantics, eval_utils.py:78-142) — pins
+        the math against refactors (e.g. the measured-and-rejected
+        fused-2B-batch variant, BASELINE.md r3)."""
+        from manipose_tpu.eval.engine import flip_poses
+        from manipose_tpu.models.rmcl import aggregate_hypotheses
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(3, 9, 17, 2)).astype(np.float32))
+        model, skeleton = predictor.model, predictor.skeleton
+
+        def two_call(variables, x):
+            hyps, scores = model.apply(variables, x, deterministic=True)
+            agg = aggregate_hypotheses(hyps, scores, "weighted_ave")
+            f_hyps, f_scores = model.apply(
+                variables, flip_poses(x, skeleton), deterministic=True
+            )
+            f_agg = aggregate_hypotheses(f_hyps, f_scores, "weighted_ave")
+            return (agg + flip_poses(f_agg, skeleton)) / 2, hyps, scores
+
+        ref_agg, ref_hyps, ref_scores = two_call(predictor.variables, x)
+        agg, hyps, scores = predictor._forward(predictor.variables, x)
+        np.testing.assert_allclose(np.asarray(agg), np.asarray(ref_agg),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(hyps), np.asarray(ref_hyps),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(scores),
+                                   np.asarray(ref_scores), atol=2e-5)
+
     def test_no_recompile_across_videos(self, predictor):
         """Different video lengths reuse the one compiled graph."""
         import jax

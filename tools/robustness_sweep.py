@@ -11,7 +11,10 @@ the paper's robustness-to-occlusion question as one command.
 
 ``noisy`` ignores ``miss_rate`` in the reference semantics
 (``generators.py:208-211`` draws N(0, noise_sigma) regardless), so it
-is swept over ``--noise-sigmas`` (pixel std) instead of the rate grid.
+is swept over ``--noise-sigmas`` instead of the rate grid. NOTE the
+units: the reference adds N(0, sigma) directly to the NORMALIZED
+([-1, 1]-scale) 2D coordinates, so its default sigma=5 is near-total
+input corruption; sigmas of ~0.01-0.05 probe realistic detector noise.
 
   python tools/robustness_sweep.py --checkpoint ckpt.pth \\
       --miss-types random structured_joint structured_frame noisy \\
@@ -61,7 +64,8 @@ def main(argv=None):
     ap.add_argument("--miss-rates", nargs="+", type=float,
                     default=[0.1, 0.2, 0.4])
     ap.add_argument("--noise-sigmas", nargs="+", type=float, default=[5.0],
-                    help="pixel noise stds for the 'noisy' type (which "
+                    help="noise stds in NORMALIZED screen units for the "
+                    "'noisy' type (which "
                     "ignores miss_rate, as in the reference)")
     ap.add_argument("--out", type=Path, default=None,
                     help="CSV output path (also prints a JSON summary)")
