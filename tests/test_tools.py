@@ -230,3 +230,39 @@ def test_robustness_sweep_cli_3dhp(tmp_path):
         for key in ("pck", "auc", "agg_pck", "agg_auc"):
             assert np.isfinite(r[key]) and 0.0 <= r[key] <= 100.0
     assert rows[-1]["n_settings"] == 2
+
+
+def test_streaming_eval_cli(tmp_path):
+    """Streaming-accuracy study: offline anchor row + per-(lookahead,
+    stride) streamed MPJPE over the 3DHP test split."""
+    import json
+
+    import numpy as np
+
+    out = tmp_path / "synth_3dhp"
+    _run([
+        "tools/make_synthetic_3dhp.py", "--out", str(out),
+        "--train-seqs", "1", "--cams", "1", "--frames", "40",
+        "--test-frames", "40",
+    ])
+    csv_path = tmp_path / "stream.csv"
+    stdout = _run([
+        "tools/streaming_eval.py", "--dataset", "3dhp",
+        "--lookaheads", "0", "4", "--strides", "3",
+        "--out", str(csv_path), "--",
+        f"data.data_dir={out}", "data.seq_len=9",
+        "model.layers=2", "model.channels=32", "model.nheads=4",
+        "model.layers_seg=2", "model.channels_seg=16",
+        "model.nheads_seg=4", "multi_hyp.n_hyp=2",
+    ])
+    rows = [json.loads(line) for line in stdout.strip().splitlines()
+            if line.startswith("{")]
+    assert rows[0]["mode"] == "offline"
+    streamed = rows[1:]
+    assert [(r["lookahead"], r["stride"]) for r in streamed] == [
+        (0, 3), (4, 3)]
+    for r in rows:
+        assert np.isfinite(r["mpjpe_mm"]) and r["mpjpe_mm"] > 0
+    for r in streamed:
+        assert r["latency_frames"] == r["lookahead"] + r["stride"] - 1
+    assert csv_path.exists()
