@@ -280,7 +280,10 @@ class Predictor:
 
     # ------------------------------------------------------------------
     def predict_video(
-        self, keypoints_2d: np.ndarray, return_hypotheses: bool = False
+        self,
+        keypoints_2d: np.ndarray,
+        return_hypotheses: bool = False,
+        window_stride: Optional[int] = None,
     ):
         """(N, J, 2) screen-normalized keypoints -> (N, J, 3) 3D poses
         in meters (root-relative camera frame).
@@ -291,26 +294,60 @@ class Predictor:
         ``(poses, hypotheses (W, H, L, J, 3), scores (W, H, L, 1))``
         triple — ``(poses, None, None)`` for non-rMCL models, which have
         no hypothesis axis.
+
+        ``window_stride=S`` (``1 <= S <= ceil(seq_len / 2)``) enables
+        the QUALITY mode: overlapping windows advancing S frames, each
+        frame read from the trunk's well-conditioned interior
+        (center-lookahead) instead of tiling edge-to-edge — measured
+        7.8mm better MPJPE than the default tiling on a trained model,
+        at ``seq_len / S`` times the compute (BASELINE.md r3).
+        Emissions equal a ``stream(stride=S, lookahead=seq_len // 2)``
+        session exactly, but windows run batched. Default ``None`` is
+        the reference protocol's non-overlapping tiling.
         """
         keypoints_2d = np.asarray(keypoints_2d, np.float32)
         n_frames, j, c = keypoints_2d.shape
         assert n_frames > 0, "empty keypoint video"
         assert j == self.skeleton.num_joints and c == 2
         seq_len = self.seq_len
-        n_windows = max(1, (n_frames + seq_len - 1) // seq_len)
-        starts = np.arange(n_windows, dtype=np.int64) * seq_len
-        clips = gather_windows(
-            [keypoints_2d],
-            np.zeros(n_windows, np.int64),
-            starts,
-            seq_len,
-        )  # (W, L, J, 2)
+        if window_stride is not None:
+            lookahead = seq_len // 2
+            if not 1 <= window_stride <= seq_len - lookahead:
+                raise ValueError(
+                    f"window_stride={window_stride} must be in "
+                    f"[1, {seq_len - lookahead}]"
+                )
+            n_windows = (n_frames + window_stride - 1) // window_stride
+            # same window geometry as StreamingSession: window k ends at
+            # frame (k+1)*S + lookahead - 1, indices replicate-clamped
+            # to the stream, frames emitted from the center positions
+            # [L - lookahead - S, L - lookahead)
+            ends = (np.arange(n_windows, dtype=np.int64) + 1) * window_stride
+            ends += lookahead - 1
+            idx = np.clip(
+                ends[:, None] + np.arange(-seq_len + 1, 1)[None, :],
+                0,
+                n_frames - 1,
+            )
+            clips = keypoints_2d[idx]  # (W, L, J, 2)
+            emit_lo = seq_len - lookahead - window_stride
+            emit_hi = emit_lo + window_stride
+        else:
+            n_windows = max(1, (n_frames + seq_len - 1) // seq_len)
+            starts = np.arange(n_windows, dtype=np.int64) * seq_len
+            clips = gather_windows(
+                [keypoints_2d],
+                np.zeros(n_windows, np.int64),
+                starts,
+                seq_len,
+            )  # (W, L, J, 2)
+            emit_lo, emit_hi = 0, seq_len
 
         outs, all_hyps, all_scores = [], [], []
 
         def harvest(out, n_valid):
             agg, hyps, scores = out
-            outs.append(np.asarray(agg[:n_valid]))
+            outs.append(np.asarray(agg[:n_valid, emit_lo:emit_hi]))
             if return_hypotheses and self.rmcl:
                 all_hyps.append(np.asarray(hyps[:n_valid]))
                 all_scores.append(np.asarray(scores[:n_valid]))

@@ -117,6 +117,25 @@ class TestStreaming:
         sess = predictor.stream()
         assert sess.lookahead == SEQ_LEN // 2
 
+    def test_quality_mode_matches_center_stream(self):
+        """predict_video(window_stride=S) — batched overlapping windows,
+        center emission — must equal a stream(stride=S,
+        lookahead=L//2) session bit-for-bit (batch_size=1: identical
+        compiled graph)."""
+        cfg = load_config("config", overrides=OVERRIDES)
+        p1 = Predictor(cfg=cfg, batch_size=1, tta=True)
+        rng = np.random.default_rng(5)
+        for n in (3, 20, 2 * SEQ_LEN):
+            video = rng.normal(size=(n, 17, 2)).astype(np.float32)
+            for stride in (1, 3, SEQ_LEN - SEQ_LEN // 2):
+                batched = p1.predict_video(video, window_stride=stride)
+                streamed = stream_all(
+                    p1, video, stride, SEQ_LEN // 2
+                )
+                np.testing.assert_array_equal(batched, streamed)
+        with pytest.raises(ValueError, match="window_stride"):
+            p1.predict_video(video, window_stride=SEQ_LEN)
+
     def test_data_parallel_predictor_streams(self, predictor):
         """A DP predictor's forward is compiled with the batch sharded
         over the mesh; streaming must pad its batch-of-1 window up to
