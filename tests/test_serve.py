@@ -62,6 +62,25 @@ class TestRouting:
         scores = np.asarray(out["scores"])
         np.testing.assert_allclose(scores.sum(axis=1), 1.0, atol=1e-5)
 
+    def test_predict_window_stride(self, server):
+        rng = np.random.default_rng(3)
+        kps = rng.normal(size=(12, 17, 2)).astype(np.float32)
+        status, out = server.handle(
+            "POST", "/predict",
+            {"keypoints": kps.tolist(), "window_stride": 3},
+        )
+        assert status == 200
+        np.testing.assert_allclose(
+            np.asarray(out["poses"], np.float32),
+            server.predictor.predict_video(kps, window_stride=3),
+            atol=1e-6,
+        )
+        status, out = server.handle(
+            "POST", "/predict",
+            {"keypoints": kps.tolist(), "window_stride": 99},
+        )
+        assert status == 400 and "window_stride" in out["error"]
+
     def test_predict_bad_shape_is_400(self, server):
         status, out = server.handle(
             "POST", "/predict", {"keypoints": [[[0.0, 0.0]] * 5] * 3}

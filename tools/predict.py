@@ -57,6 +57,10 @@ def main(argv=None):
     ap.add_argument("--no-tta", action="store_true")
     ap.add_argument("--int8", action="store_true",
                     help="int8 weight+activation serving path")
+    ap.add_argument("--window-stride", type=int, default=None,
+                    help="quality mode: overlapping windows advancing "
+                    "this many frames, center emission (<= ceil(L/2); "
+                    "L/S x compute, measured ~8mm better, BASELINE.md)")
     ap.add_argument("--hypotheses", action="store_true",
                     help="also dump per-window hypotheses + scores")
     ap.add_argument("overrides", nargs="*",
@@ -100,12 +104,15 @@ def main(argv=None):
         n_frames += kps.shape[0]
         if args.hypotheses and predictor.rmcl:
             poses, hyps, scores = predictor.predict_video(
-                kps, return_hypotheses=True
+                kps, return_hypotheses=True,
+                window_stride=args.window_stride,
             )
             out[f"{name}_hypotheses"] = hyps
             out[f"{name}_scores"] = scores
         else:
-            poses = predictor.predict_video(kps)
+            poses = predictor.predict_video(
+                kps, window_stride=args.window_stride
+            )
         out[name] = poses
     dt = time.perf_counter() - t0
     args.output.parent.mkdir(parents=True, exist_ok=True)

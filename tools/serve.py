@@ -10,7 +10,9 @@ layer at all. Endpoints:
                                -> {"poses": [N x J x 3]} (meters,
                                root-relative camera frame); optional
                                ``"hypotheses": true`` adds per-window
-                               hypothesis/score arrays for rMCL models.
+                               hypothesis/score arrays for rMCL models;
+                               optional ``"window_stride": S`` enables
+                               the overlap quality mode.
 - ``POST /stream/open``        body {"stride": int, "lookahead": int?}
                                -> {"session": id, "latency_frames": n}
 - ``POST /stream/<id>/push``   body {"frames": [k x J x 2]}
@@ -107,16 +109,23 @@ class PoseServer:
                 f"keypoints must be (N, {self.predictor.skeleton.num_joints},"
                 f" 2); got {list(kps.shape)}"
             )
+        window_stride = body.get("window_stride")
+        if window_stride is not None:
+            window_stride = int(window_stride)
         if body.get("hypotheses"):
             poses, hyps, scores = self.predictor.predict_video(
-                kps, return_hypotheses=True
+                kps, return_hypotheses=True, window_stride=window_stride
             )
             out = {"poses": poses.tolist()}
             if hyps is not None:
                 out["hypotheses"] = hyps.tolist()
                 out["scores"] = scores.tolist()
             return out
-        return {"poses": self.predictor.predict_video(kps).tolist()}
+        return {
+            "poses": self.predictor.predict_video(
+                kps, window_stride=window_stride
+            ).tolist()
+        }
 
     def stream_open(self, body):
         sess = self.predictor.stream(
