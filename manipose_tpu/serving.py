@@ -24,6 +24,18 @@ from .geometry.skeleton import Skeleton
 from .models.rmcl import aggregate_hypotheses
 
 
+class _LazyWindows:
+    """Overlapping windows gathered on slice access: holds (video, idx)
+    so only one batch of windows is ever materialized at a time."""
+
+    def __init__(self, video: np.ndarray, idx: np.ndarray):
+        self._video = video
+        self._idx = idx
+
+    def __getitem__(self, s) -> np.ndarray:
+        return self._video[self._idx[s]]
+
+
 class Predictor:
     """Lift 2D keypoint videos to 3D poses.
 
@@ -329,7 +341,10 @@ class Predictor:
                 0,
                 n_frames - 1,
             )
-            clips = keypoints_2d[idx]  # (W, L, J, 2)
+            # lazy per-batch gather: materializing all W overlapping
+            # windows up-front would blow memory up L/S-fold over the
+            # video (1 GB for a 30k-frame flagship run at S=1)
+            clips = _LazyWindows(keypoints_2d, idx)
             emit_lo = seq_len - lookahead - window_stride
             emit_hi = emit_lo + window_stride
         else:

@@ -128,6 +128,45 @@ class TestRouting:
                                   {"frames": []})
         assert status == 404
 
+    def test_missing_fields_are_400(self, server):
+        status, out = server.handle("POST", "/predict", {})
+        assert status == 400 and "keypoints" in out["error"]
+        _, opened = server.handle("POST", "/stream/open", {})
+        sid = opened["session"]
+        status, out = server.handle("POST", f"/stream/{sid}/push", {})
+        assert status == 400 and "frames" in out["error"]
+        server.handle("POST", f"/stream/{sid}/close", {})
+
+    def test_bad_value_types_are_400(self, server):
+        status, _ = server.handle("POST", "/stream/open", {"stride": None})
+        assert status == 400
+        status, _ = server.handle(
+            "POST", "/predict",
+            {"keypoints": np.zeros((9, 17, 2)).tolist(),
+             "window_stride": [3]},
+        )
+        assert status == 400
+
+    def test_session_cap_and_close(self, server):
+        server.max_sessions = len(server.sessions) + 2
+        try:
+            sids = []
+            for _ in range(2):
+                status, out = server.handle("POST", "/stream/open", {})
+                assert status == 200
+                sids.append(out["session"])
+            status, out = server.handle("POST", "/stream/open", {})
+            assert status == 400 and "too many" in out["error"]
+            status, out = server.handle(
+                "POST", f"/stream/{sids[0]}/close", {}
+            )
+            assert status == 200 and out["closed"] == sids[0]
+            status, _ = server.handle("POST", "/stream/open", {})
+            assert status == 200
+        finally:
+            server.max_sessions = 64
+            server.sessions.clear()
+
 
 class TestHTTP:
     def test_end_to_end_over_http(self, server):

@@ -21,6 +21,9 @@ layer at all. Endpoints:
                                empty)
 - ``POST /stream/<id>/flush``  -> {"poses": ...} tail + closes the
                                session
+- ``POST /stream/<id>/close``  discard without flushing (cleanup);
+                               open sessions are capped
+                               (``--max-sessions``, default 64)
 
 Single-threaded by design: one process owns one device context and
 serves requests in order (JAX dispatch is not thread-safe across
@@ -52,9 +55,6 @@ import numpy as np  # noqa: E402
 
 
 def build_predictor(args):
-    import jax
-    import jax.numpy as jnp
-
     from manipose_tpu.config import load_config
     from manipose_tpu.serving import Predictor
 
@@ -81,8 +81,9 @@ def build_predictor(args):
 class PoseServer:
     """Request logic, separated from the HTTP plumbing for testability."""
 
-    def __init__(self, predictor):
+    def __init__(self, predictor, max_sessions: int = 64):
         self.predictor = predictor
+        self.max_sessions = max_sessions
         self.sessions = {}
 
     def healthz(self):
@@ -101,6 +102,8 @@ class PoseServer:
         }
 
     def predict(self, body):
+        if "keypoints" not in body:
+            raise ValueError("missing required field 'keypoints'")
         kps = np.asarray(body["keypoints"], np.float32)
         if kps.ndim != 3 or kps.shape[1:] != (
             self.predictor.skeleton.num_joints, 2
@@ -128,6 +131,11 @@ class PoseServer:
         }
 
     def stream_open(self, body):
+        if len(self.sessions) >= self.max_sessions:
+            raise ValueError(
+                f"too many open sessions ({self.max_sessions}); "
+                "flush or close some first"
+            )
         sess = self.predictor.stream(
             stride=int(body.get("stride", 1)),
             lookahead=(
@@ -147,6 +155,8 @@ class PoseServer:
         sess = self.sessions.get(sid)
         if sess is None:
             raise KeyError(f"unknown session {sid}")
+        if "frames" not in body:
+            raise ValueError("missing required field 'frames'")
         poses = sess.push(np.asarray(body["frames"], np.float32))
         return {"poses": poses.tolist()}
 
@@ -155,6 +165,13 @@ class PoseServer:
         if sess is None:
             raise KeyError(f"unknown session {sid}")
         return {"poses": sess.flush().tolist()}
+
+    def stream_close(self, sid):
+        """Discard a session without flushing (abandoned-client
+        cleanup)."""
+        if self.sessions.pop(sid, None) is None:
+            raise KeyError(f"unknown session {sid}")
+        return {"closed": sid}
 
     # ------------------------------------------------------------------
     def handle(self, method, path, body):
@@ -173,10 +190,12 @@ class PoseServer:
                     return 200, self.stream_push(sid, body)
                 if op == "flush":
                     return 200, self.stream_flush(sid)
+                if op == "close":
+                    return 200, self.stream_close(sid)
             return 404, {"error": f"no route {method} {path}"}
         except KeyError as e:
             return 404, {"error": str(e)}
-        except (ValueError, RuntimeError) as e:
+        except (ValueError, RuntimeError, TypeError) as e:
             return 400, {"error": str(e)}
 
 
@@ -226,11 +245,14 @@ def main(argv=None):
     ap.add_argument("--no-tta", action="store_true")
     ap.add_argument("--quantize", action="store_true")
     ap.add_argument("--data-parallel", action="store_true")
+    ap.add_argument("--max-sessions", type=int, default=64)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
 
-    httpd = make_http_server(PoseServer(build_predictor(args)),
-                             args.host, args.port)
+    httpd = make_http_server(
+        PoseServer(build_predictor(args), max_sessions=args.max_sessions),
+        args.host, args.port,
+    )
     print(f"serving on http://{args.host}:{httpd.server_address[1]}")
     httpd.serve_forever()
 

@@ -55,16 +55,8 @@ def main(argv=None):
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
 
-    import jax
-    import jax.numpy as jnp
-
     from manipose_tpu.config import load_config
-    from manipose_tpu.drivers.common import (
-        init_model_params,
-        instantiate_model,
-    )
     from manipose_tpu.serving import Predictor
-    from manipose_tpu.train.checkpoint import load_torch_checkpoint
 
     base_overrides = list(args.overrides)
     if args.dataset == "3dhp":
@@ -96,26 +88,18 @@ def main(argv=None):
     ]
     n_frames = sum(len(p3) for p3, _ in sequences)
 
-    model, rmcl = instantiate_model(cfg, skeleton)
+    kw = dict(cfg=cfg, skeleton=skeleton, batch_size=1, tta=cfg.train.tta)
     if args.checkpoint.endswith(".pth"):
-        variables = jax.tree_util.tree_map(
-            jnp.asarray,
-            load_torch_checkpoint(args.checkpoint, cfg.model.arch),
-        )
+        predictor = Predictor.from_torch_checkpoint(args.checkpoint, **kw)
     elif args.checkpoint:
-        from manipose_tpu.train.checkpoint import restore_checkpoint
-
-        variables = init_model_params(model, cfg, skeleton.num_joints)
-        variables = restore_checkpoint(args.checkpoint, args.tag, variables)
+        kw_cfg = kw.pop("cfg")
+        predictor = Predictor.from_checkpoint(
+            args.checkpoint, tag=args.tag, cfg=kw_cfg, **kw
+        )
     else:
         print("WARNING: no --checkpoint; scoring random weights "
               "(smoke-test mode)")
-        variables = init_model_params(model, cfg, skeleton.num_joints)
-
-    predictor = Predictor(
-        cfg=cfg, skeleton=skeleton, variables=variables, batch_size=1,
-        tta=cfg.train.tta,
-    )
+        predictor = Predictor(**kw)
     L = predictor.seq_len
     lookaheads = (
         args.lookaheads if args.lookaheads is not None
@@ -139,6 +123,9 @@ def main(argv=None):
     for lookahead in lookaheads:
         for stride in args.strides:
             if not 1 <= stride <= L - lookahead:
+                print(f"SKIP lookahead={lookahead} stride={stride}: "
+                      f"stride must be in [1, L - lookahead = "
+                      f"{L - lookahead}]")
                 continue
             errs = []
             for p3, p2 in sequences:
