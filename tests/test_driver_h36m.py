@@ -114,6 +114,24 @@ class TestH36MDriver:
         # checkpoints saved
         assert (out / "end").exists()
 
+        # eval-only from OUR OWN trained best-tag checkpoint
+        # (run.checkpoint_params + run.train=false) reproduces the
+        # train run's per-action protocol table
+        from manipose_tpu.drivers.h36m import main as main_again
+
+        cfg2 = _cfg(synthetic_h36m, tmp_path, extra=[
+            "run.train=false",
+            "run.experiment=evalonly",
+            f"run.checkpoint_params={out / 'best_mpjpe'}",
+        ])
+        assert main_again(cfg2) is None  # no training happened
+        table2 = pd.read_csv(tmp_path / "evalonly" / "protocol_1_err.csv")
+        np.testing.assert_allclose(
+            table2["mpjpe"].astype(float).to_numpy(),
+            table["mpjpe"].astype(float).to_numpy(),
+            rtol=1e-6,
+        )
+
     def test_debug_run_mixste(self, synthetic_h36m, tmp_path):
         from manipose_tpu.drivers.h36m import main
 
