@@ -58,32 +58,50 @@ SEQ_LEN = 243
 DTYPE = "bfloat16"
 
 
-def gemm_ceiling_tf(n: int = 8192, iters: int = 12) -> float:
+def _best_chained_rate(f, x0, flops_per_call: float, iters: int, reps: int) -> float:
+    """Best-of-``reps`` rate (TF/s) of a chained jitted call.
+
+    A ceiling is a max, not a mean: any rep can be degraded by transient
+    tunnel/host noise (the at-shape probe drifted 58 -> 39 TF/s between
+    otherwise-identical sessions, yielding an impossible mfu_at_shape >
+    1), but no rep can beat the hardware. Each rep times ``iters``
+    dependency-chained calls forced once at the end with float(...) per
+    the backend's completion-barrier hazard (CLAUDE.md)."""
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        o = x0
+        for _ in range(iters):
+            o = f(o)
+        _ = float(jnp.sum(o))
+        dt = (time.perf_counter() - t0) / iters
+        best = max(best, flops_per_call / dt / 1e12)
+    return best
+
+
+def gemm_ceiling_tf(n: int = 8192, iters: int = 12, reps: int = 3) -> float:
     """Same-session achievable GEMM rate (TF/s): chained n^3 bf16
     matmuls (each consumes the previous output — a true dependency
-    chain), forced once at the end with float(...) per the backend's
-    completion-barrier hazard (CLAUDE.md).
+    chain).
 
     n=8192: at 4096^3 each chained call is ~2 ms of MXU work and the
     tunnel's per-dispatch overhead dominates (probed 30 TF/s while the
     model itself sustained 42 — a 'ceiling' below the floor); 8192^3 is
     ~1.1 TFLOP/call, long enough to amortize dispatch."""
-    a = jnp.ones((n, n), jnp.bfloat16)
     b = jnp.full((n, n), 1.0 / n, jnp.bfloat16)
-    f = jax.jit(lambda x, y: x @ y)
-    out = f(a, b)
-    _ = float(jnp.sum(out))  # warm + compile drain
-    t0 = time.perf_counter()
-    o = a
-    for _ in range(iters):
-        o = f(o, b)
-    _ = float(jnp.sum(o))
-    dt = (time.perf_counter() - t0) / iters
-    return 2 * n**3 / dt / 1e12
+    f = jax.jit(lambda x: x @ b)
+    a = jnp.ones((n, n), jnp.bfloat16)
+    _ = float(jnp.sum(f(a)))  # warm + compile drain
+    return _best_chained_rate(f, a, 2.0 * n**3, iters, reps)
 
 
 def shape_ceiling_tf(
-    m: int = BATCH * 243 * 17, k: int = 512, n: int = 1024, iters: int = 30
+    m: int = BATCH * 243 * 17,
+    k: int = 512,
+    n: int = 1024,
+    unroll: int = 8,
+    iters: int = 8,
+    reps: int = 3,
 ) -> float:
     """Achievable GEMM rate AT THE MODEL'S DOMINANT SHAPE (TF/s).
 
@@ -93,22 +111,28 @@ def shape_ceiling_tf(
     loads). ``mfu_at_shape`` = step TF/s over this probe is the honest
     "how much of what this chip can do *for these shapes* do we get",
     complementing ``mfu`` against the absolute square-GEMM ceiling.
-    Chained on the activation operand (true dependency), k==n forced by
-    construction via separate weights.
+
+    ``unroll`` GEMM round-trips execute inside ONE jitted call (~1.1
+    TFLOP — the same per-dispatch work as the 8192^3 probe) so the
+    tunnel's per-dispatch overhead cannot masquerade as a lower MXU
+    rate: a single (m,k)@(k,n)@(n,k) round-trip is only ~139 GFLOP
+    (~2.8 ms), squarely in the dispatch-bound regime that previously
+    made this "ceiling" read BELOW the model's own sustained TF/s.
+    Chained on the activation operand (true dependency) across calls.
     """
-    a = jnp.ones((m, k), jnp.bfloat16)
     w1 = jnp.full((k, n), 1.0 / k, jnp.bfloat16)
     w2 = jnp.full((n, k), 1.0 / n, jnp.bfloat16)
-    f = jax.jit(lambda x, u, v: (x @ u) @ v)  # round-trips back to (m, k)
-    out = f(a, w1, w2)
-    _ = float(jnp.sum(out))  # warm + compile drain
-    t0 = time.perf_counter()
-    o = a
-    for _ in range(iters):
-        o = f(o, w1, w2)
-    _ = float(jnp.sum(o))
-    dt = (time.perf_counter() - t0) / iters
-    return 2 * (m * k * n + m * n * k) / dt / 1e12
+
+    def body(x):
+        for _ in range(unroll):
+            x = (x @ w1) @ w2
+        return x
+
+    f = jax.jit(body)
+    a = jnp.ones((m, k), jnp.bfloat16)
+    _ = float(jnp.sum(f(a)))  # warm + compile drain
+    flops_per_call = 2.0 * (m * k * n + m * n * k) * unroll
+    return _best_chained_rate(f, a, flops_per_call, iters, reps)
 
 
 def step_flops(step, state, x, y) -> float:
