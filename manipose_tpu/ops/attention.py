@@ -36,6 +36,18 @@ import jax
 import jax.numpy as jnp
 
 
+# Packing group bound for the tiny-N (spatial) block-diagonal path.
+# Module-level so perf studies (tools/step_ablation.py --pack-group) can
+# sweep it. 8 is the measured in-graph optimum at the flagship shape:
+# full-step sweep (r3, 12-step timings on the chip) read g=6 407.7 ms,
+# g=8 377.0 ms, g=12 436.8 ms (g=16 regressed in the r2 sweep) — the
+# lane-padding hypothesis (17*6=102 fits one 128-lane tile, 17*8=136
+# spills to 256) does NOT win: masked-score work grows as g^2 while
+# batch shrinks only as 1/g, and XLA's layout handling of the 136-wide
+# tile beats both alternatives.
+SPATIAL_PACK_MAX_GROUP = 8
+
+
 def multi_head_attention(
     q: jnp.ndarray,  # (B, h, N, d)
     k: jnp.ndarray,
@@ -94,7 +106,9 @@ def multi_head_attention(
         impl != "xla_direct"
         and q.shape[2] <= 32
         and (deterministic or dropout_rate == 0.0)
-        and largest_dividing_group(q.shape[0] * q.shape[1], 8) > 1
+        and largest_dividing_group(
+            q.shape[0] * q.shape[1], SPATIAL_PACK_MAX_GROUP
+        ) > 1
     ):
         # tiny-N (spatial) layout: block-diagonal window packing
         out = _xla_packed_attention(q, k, v, scale)
@@ -160,7 +174,7 @@ def _xla_packed_attention(q, k, v, scale):
     """
     b, h, n, d = q.shape
     bh = b * h
-    g = largest_dividing_group(bh, 8)
+    g = largest_dividing_group(bh, SPATIAL_PACK_MAX_GROUP)
     assert g > 1, "caller dispatches here only when packing applies"
 
     def flat(x):

@@ -45,7 +45,19 @@ def main(argv=None):
     p.add_argument(
         "--ablations",
         default="full,no_seg,no_decode,k1",
-        help="comma list from {full,no_seg,no_decode,k1}",
+        help="comma list from {full,no_seg,no_decode,k1,depth4,"
+        "no_droppath,fwd,remat} — depth4 halves the trunk depth (per-block-pair "
+        "in-graph marginal = (full - depth4)/4), no_droppath zeroes "
+        "stochastic depth (its train-mode mask/where cost), fwd times the "
+        "train-mode forward+loss alone (no grad, no optimizer)",
+    )
+    p.add_argument(
+        "--pack-group",
+        type=int,
+        default=None,
+        help="override ops.attention.SPATIAL_PACK_MAX_GROUP for every "
+        "ablation (sweep the spatial block-diagonal packing width; "
+        "g*17 should land just under a multiple of 128 lanes)",
     )
     args = p.parse_args(argv)
 
@@ -77,6 +89,11 @@ def main(argv=None):
         make_optimizer,
         make_train_step,
     )
+
+    if args.pack_group is not None:
+        from manipose_tpu.ops import attention as _attn
+
+        _attn.SPATIAL_PACK_MAX_GROUP = args.pack_group
 
     skel = h36m_skeleton_17()
     cfg = ManifoldConfig(
@@ -137,6 +154,18 @@ def main(argv=None):
             return RMCLManifoldMixSTE(
                 dataclasses.replace(cfg, n_hyp=1), skel
             )
+        if name == "depth4":
+            return RMCLManifoldMixSTE(
+                dataclasses.replace(cfg, depth_rot=4), skel
+            )
+        if name == "no_droppath":
+            return RMCLManifoldMixSTE(
+                dataclasses.replace(cfg, drop_path_rate=0.0), skel
+            )
+        if name == "remat":
+            return RMCLManifoldMixSTE(
+                dataclasses.replace(cfg, remat=True), skel
+            )
         raise ValueError(name)
 
     rng = np.random.default_rng(0)
@@ -150,6 +179,34 @@ def main(argv=None):
         )
     )
     tx = make_optimizer(weight_decay=1e-6)
+
+    def measure_fwd(model):
+        """Train-mode forward + loss only (no grad, no update): the
+        fwd side of the fwd:bwd split. Chained through a scalar carry so
+        the steps cannot be reordered/elided."""
+        from manipose_tpu.train.losses import compute_loss
+
+        params = model.init(jax.random.PRNGKey(0), x[:1])
+        loss_rng = jax.random.PRNGKey(1)
+
+        @jax.jit
+        def fwd(carry, rng):
+            pred = model.apply(
+                params, x + carry * 0.0, deterministic=False,
+                rngs={"dropout": rng},
+            )
+            total, _ = compute_loss(pred, y, LossConfig(rmcl=True), skel)
+            return total
+
+        carry = jnp.zeros(())
+        for _ in range(3):
+            carry = fwd(carry, loss_rng)
+            _ = float(carry)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            carry = fwd(carry, loss_rng)
+        _ = float(carry)
+        return (time.perf_counter() - t0) / args.steps
 
     def measure(model):
         params = model.init(jax.random.PRNGKey(0), x[:1])
@@ -171,7 +228,10 @@ def main(argv=None):
     results = {}
     names = [n.strip() for n in args.ablations.split(",") if n.strip()]
     for name in names:
-        dt = measure(build(name))
+        if name == "fwd":
+            dt = measure_fwd(build("full"))
+        else:
+            dt = measure(build(name))
         results[name] = {
             "ms_per_step": round(dt * 1e3, 1),
             "seq_per_sec": round(args.batch / dt, 2),
