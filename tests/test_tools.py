@@ -92,14 +92,17 @@ def test_mup_coord_check_runs():
 def test_step_ablation_reports_marginals():
     stdout = _run([
         "tools/step_ablation.py", "--batch", "2", "--seq-len", "27",
-        "--steps", "2", "--ablations", "full,no_seg",
+        "--steps", "2", "--ablations", "full,no_seg,depth4,fwd",
+        "--pack-group", "4",
     ])
     import json
 
     results = json.loads(stdout.strip().splitlines()[-1])
-    assert set(results) == {"full", "no_seg"}
-    assert results["full"]["ms_per_step"] > 0
+    assert set(results) == {"full", "no_seg", "depth4", "fwd"}
+    for r in results.values():
+        assert r["ms_per_step"] > 0
     assert "marginal_ms" in results["no_seg"]
+    assert "marginal_ms" in results["depth4"]
 
 
 def test_make_synthetic_3dhp_roundtrip(tmp_path):
