@@ -20,6 +20,7 @@ import optax
 from flax import struct
 
 from ..geometry.skeleton import Skeleton
+from ..utils.platform import tpu_compiler_options
 from .losses import LossConfig, compute_loss
 from .optim import make_optimizer, set_learning_rate
 
@@ -131,7 +132,12 @@ def make_train_step(
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(step, donate_argnums=donate_argnums, static_argnums=(4,))
+    return jax.jit(
+        step,
+        donate_argnums=donate_argnums,
+        static_argnums=(4,),
+        compiler_options=tpu_compiler_options(),
+    )
 
 
 def make_multi_train_step(
@@ -200,7 +206,11 @@ def make_multi_train_step(
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(step, donate_argnums=donate_argnums)
+    return jax.jit(
+        step,
+        donate_argnums=donate_argnums,
+        compiler_options=tpu_compiler_options(),
+    )
 
 
 def make_eval_loss_step(

@@ -108,3 +108,86 @@ class TestApplyPlatformEnv:
         # idempotent: a second call must not duplicate or override
         relax_cpu_collective_timeouts(terminate_s=999)
         assert os.environ["XLA_FLAGS"] == flags
+
+
+class TestTpuCompilerOptions:
+    """Per-jit XLA options for the hot train step (utils/platform.py).
+
+    The scoped-VMEM budget was swept on-chip (BASELINE.md round-3 "XLA
+    compiler-option sweep"): 32 MiB is a reproducible +1.2% step win,
+    so make_train_step applies it whenever the default backend is TPU.
+    These tests pin the gating logic; the on-chip effect is recorded in
+    BASELINE.md.
+    """
+
+    def test_none_off_tpu(self):
+        from manipose_tpu.utils.platform import tpu_compiler_options
+
+        # the suite runs on the CPU backend (conftest)
+        assert tpu_compiler_options() is None
+
+    def test_default_budget_on_tpu(self, monkeypatch):
+        import jax
+
+        from manipose_tpu.utils.platform import tpu_compiler_options
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert tpu_compiler_options() == {
+            "xla_tpu_scoped_vmem_limit_kib": "32768"
+        }
+
+    def test_env_override_and_disable(self, monkeypatch):
+        import jax
+
+        from manipose_tpu.utils.platform import tpu_compiler_options
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setenv("MANIPOSE_XLA_VMEM_KIB", "65536")
+        assert tpu_compiler_options() == {
+            "xla_tpu_scoped_vmem_limit_kib": "65536"
+        }
+        monkeypatch.setenv("MANIPOSE_XLA_VMEM_KIB", "0")
+        assert tpu_compiler_options() is None
+
+    def test_train_step_builds_with_gate(self):
+        # make_train_step must build (and run) with the gate returning
+        # None on this backend — compiler_options=None is a supported
+        # jax.jit argument, not a crash.
+        import jax.numpy as jnp
+        import numpy as np
+
+        from manipose_tpu.geometry import h36m_skeleton_17
+        from manipose_tpu.models import ManifoldConfig, RMCLManifoldMixSTE
+        from manipose_tpu.train import (
+            LossConfig,
+            TrainState,
+            make_optimizer,
+            make_train_step,
+        )
+        import jax
+
+        skel = h36m_skeleton_17()
+        cfg = ManifoldConfig(
+            num_frame=9,
+            n_hyp=2,
+            embed_dim_rot=16,
+            depth_rot=1,
+            num_heads_rot=2,
+            embed_dim_seg=16,
+            depth_seg=1,
+            num_heads_seg=2,
+        )
+        model = RMCLManifoldMixSTE(cfg, skel)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 9, 17, 2)).astype(np.float32))
+        y = jnp.asarray(
+            0.1 * rng.normal(size=(2, 9, 17, 3)).astype(np.float32)
+        )
+        params = model.init(jax.random.PRNGKey(0), x[:1])
+        tx = make_optimizer(weight_decay=1e-6)
+        state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        step = make_train_step(
+            model.apply, LossConfig(rmcl=True), skel, tx, donate=False
+        )
+        _, metrics = step(state, x, y, 1e-4)
+        assert np.isfinite(float(metrics["loss"]))
