@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.pipeline import prefetch
+from ..utils.platform import tpu_compiler_options
 from ..geometry.skeleton import Skeleton
 from ..metrics.losses import wta_l2_loss_and_activate_head
 from ..models.rmcl import aggregate_hypotheses, poses_from_hyp_idx
@@ -128,7 +129,9 @@ def make_eval_step(
             out["psoracle_sum_jointerr"] = masked_jointerr_sum(psoracle_preds) / j
         return out
 
-    return jax.jit(step)
+    # same graph class as the serving forward, where the scoped-VMEM
+    # budget measured +1.5% on-chip (BASELINE.md r3 compiler sweep)
+    return jax.jit(step, compiler_options=tpu_compiler_options())
 
 
 def evaluate(

@@ -20,6 +20,7 @@ from .config import Config, load_config
 from .data.native import gather_windows
 from .drivers.common import init_model_params, instantiate_model
 from .eval.engine import flip_poses
+from .utils.platform import tpu_compiler_options
 from .geometry.skeleton import Skeleton
 from .models.rmcl import aggregate_hypotheses
 
@@ -136,9 +137,14 @@ class Predictor:
                     NamedSharding(self.mesh, P()),  # params: replicated
                     NamedSharding(self.mesh, P("data")),  # batch: split
                 ),
+                compiler_options=tpu_compiler_options(),
             )
         else:
-            self._forward = jax.jit(forward)
+            # scoped-VMEM budget: measured +1.5% on this forward on-chip
+            # (BASELINE.md round-3 "XLA compiler-option sweep")
+            self._forward = jax.jit(
+                forward, compiler_options=tpu_compiler_options()
+            )
 
     def _make_forward(self, model):
         """Windows-batch forward: apply + TTA flip + score aggregation."""
