@@ -6,8 +6,9 @@ Prints ONE JSON line:
    "vs_cpu_reference": N}
 
 The benchmark is SELF-ANCHORING (VERDICT r2 #2): every run re-probes the
-same-session 4096^3 bf16 GEMM ceiling (this tunnel slice's achievable
-rate drifts 42-67 TF/s between sessions, BASELINE.md) and derives the
+same-session 8192^3 bf16 GEMM ceiling (4096^3 is dispatch-bound through
+this tunnel and reads BELOW the model's own sustained rate; the
+achievable rate also drifts between sessions, BASELINE.md) and derives the
 step's TF/s from the compiled graph's own cost_analysis, so the reported
 ``mfu`` is reproducible per-run rather than anchored to a stale probe.
 

@@ -233,4 +233,6 @@ def make_eval_loss_step(
         )
         return {"loss": total, **terms}
 
-    return jax.jit(step, static_argnums=(3,))
+    return jax.jit(
+        step, static_argnums=(3,), compiler_options=tpu_compiler_options()
+    )

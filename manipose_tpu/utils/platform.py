@@ -62,7 +62,11 @@ def tpu_compiler_options() -> dict | None:
     the larger budget starves HBM prefetch double-buffering) and the
     latency-hiding scheduler is a wash single-chip. Returns None off
     TPU (CPU/GPU compilers reject the option). Override the budget via
-    ``MANIPOSE_XLA_VMEM_KIB`` (``0`` disables).
+    ``MANIPOSE_XLA_VMEM_KIB`` (``0`` disables); pass arbitrary extra
+    XLA:TPU options via ``MANIPOSE_XLA_COPTS`` as comma-separated
+    ``flag=value`` pairs (merged on top, so a flag repeated there
+    overrides the built-in budget — the escape hatch for per-deployment
+    tuning and for ``tools/xla_copt_sweep.py``).
 
     No reference counterpart: torch has no per-graph compiler budget;
     this is the XLA:TPU analogue of tuning a CUDA kernel's shared-mem
@@ -70,12 +74,41 @@ def tpu_compiler_options() -> dict | None:
     """
     import jax
 
-    if jax.default_backend() != "tpu":
+    if not _on_tpu_backend(jax):
         return None
+    opts: dict = {}
     kib = os.environ.get("MANIPOSE_XLA_VMEM_KIB", "32768")
-    if not kib or kib == "0":
-        return None
-    return {"xla_tpu_scoped_vmem_limit_kib": kib}
+    if kib and kib != "0":
+        opts["xla_tpu_scoped_vmem_limit_kib"] = kib
+    extra = os.environ.get("MANIPOSE_XLA_COPTS", "")
+    for pair in filter(None, (p.strip() for p in extra.split(","))):
+        key, _, value = pair.partition("=")
+        if key and value:
+            opts[key] = value
+    return opts or None
+
+
+def _on_tpu_backend(jax) -> bool:
+    """Whether the effective JAX backend is a TPU — WITHOUT initializing
+    the backend as a side effect.
+
+    ``jax.default_backend()`` initializes the backend; calling it from
+    :func:`tpu_compiler_options` would mean merely *constructing* a
+    train step or Predictor freezes the platform choice (and, when the
+    TPU tunnel is down, hangs in backend init even for CPU-bound
+    callers). When the backend is already up we ask it; before that we
+    read the platform-priority config string (``jax_platforms``, first
+    entry wins — ``axon`` is this environment's TPU tunnel plugin).
+    An empty/unset priority list conservatively reads as not-TPU: a
+    step built before any device use then skips the optional budget
+    rather than risking a wrong-backend option.
+    """
+    from jax._src import xla_bridge
+
+    if xla_bridge._backends:
+        return jax.default_backend() == "tpu"
+    first = (jax.config.jax_platforms or "").split(",")[0].strip().lower()
+    return first in ("tpu", "axon")
 
 
 def relax_cpu_collective_timeouts(

@@ -116,7 +116,14 @@ class TestH36MDriver:
 
         # eval-only from OUR OWN trained best-tag checkpoint
         # (run.checkpoint_params + run.train=false) reproduces the
-        # train run's per-action protocol table
+        # train run's per-action protocol table. The comparison relies
+        # on best_params == best_mpjpe ckpt, which the train loop only
+        # guarantees when a single eval decided both best-val and
+        # best-mpjpe — i.e. exactly one training epoch:
+        assert int(cfg.train.epochs) == 1, (
+            "debug config grew beyond 1 epoch; restore from a tag that "
+            "matches the params run_test_protocol used"
+        )
         from manipose_tpu.drivers.h36m import main as main_again
 
         cfg2 = _cfg(synthetic_h36m, tmp_path, extra=[

@@ -105,6 +105,25 @@ def test_step_ablation_reports_marginals():
     assert "marginal_ms" in results["depth4"]
 
 
+def test_xla_copt_sweep_harness(tmp_path):
+    """The compiler-option sweep harness must run a variant end-to-end
+    (build via the production make_train_step + MANIPOSE_XLA_* env wire,
+    time it, append a JSONL row). On CPU the options gate to None — the
+    on-chip effect is BASELINE.md's; this covers the harness itself."""
+    import json
+
+    out = tmp_path / "sweep.jsonl"
+    stdout = _run([
+        "tools/xla_copt_sweep.py", "--small", "--iters", "1", "--reps", "1",
+        "--only", "vmem32768-control", "--out", str(out),
+    ])
+    best = json.loads(stdout.strip().splitlines()[-1])["best"]
+    assert best["variant"] == "vmem32768-control"
+    assert best["status"] == "ok" and best["ms_per_step"] > 0
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(rows) == 1 and rows[0]["variant"] == "vmem32768-control"
+
+
 def test_make_synthetic_3dhp_roundtrip(tmp_path):
     """The FK-synthetic 3DHP archives must drive the production loader:
     MPI->H36M permute, root-centering, mm->m, valid masks, TS5/6 screen

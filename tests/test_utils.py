@@ -120,34 +120,98 @@ class TestTpuCompilerOptions:
     BASELINE.md.
     """
 
+    @staticmethod
+    def _fake_tpu(monkeypatch):
+        """Make the gate see an initialized TPU backend (the gate asks
+        jax.default_backend() only when xla_bridge._backends is
+        non-empty, so short unit runs — where the lazy backend never
+        initialized — must fake both seams)."""
+        import jax
+        from jax._src import xla_bridge
+
+        monkeypatch.setattr(xla_bridge, "_backends", {"tpu": object()})
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
     def test_none_off_tpu(self):
         from manipose_tpu.utils.platform import tpu_compiler_options
 
-        # the suite runs on the CPU backend (conftest)
+        # the suite runs on the CPU backend (conftest pins
+        # jax_platforms=cpu), whether or not it initialized yet
         assert tpu_compiler_options() is None
 
     def test_default_budget_on_tpu(self, monkeypatch):
-        import jax
-
         from manipose_tpu.utils.platform import tpu_compiler_options
 
-        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        self._fake_tpu(monkeypatch)
         assert tpu_compiler_options() == {
             "xla_tpu_scoped_vmem_limit_kib": "32768"
         }
 
     def test_env_override_and_disable(self, monkeypatch):
-        import jax
-
         from manipose_tpu.utils.platform import tpu_compiler_options
 
-        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        self._fake_tpu(monkeypatch)
         monkeypatch.setenv("MANIPOSE_XLA_VMEM_KIB", "65536")
         assert tpu_compiler_options() == {
             "xla_tpu_scoped_vmem_limit_kib": "65536"
         }
         monkeypatch.setenv("MANIPOSE_XLA_VMEM_KIB", "0")
         assert tpu_compiler_options() is None
+
+    def test_extra_copts_merge_and_override(self, monkeypatch):
+        """MANIPOSE_XLA_COPTS merges arbitrary flag=value pairs on top of
+        the built-in budget (the tools/xla_copt_sweep.py wire)."""
+        from manipose_tpu.utils.platform import tpu_compiler_options
+
+        self._fake_tpu(monkeypatch)
+        monkeypatch.setenv(
+            "MANIPOSE_XLA_COPTS",
+            " xla_tpu_rwb_fusion=false , xla_tpu_scoped_vmem_limit_kib=1024,"
+            "malformed_no_value",
+        )
+        assert tpu_compiler_options() == {
+            "xla_tpu_scoped_vmem_limit_kib": "1024",  # override wins
+            "xla_tpu_rwb_fusion": "false",
+        }
+        # extras alone keep the dict non-None even with the budget off
+        monkeypatch.setenv("MANIPOSE_XLA_VMEM_KIB", "0")
+        monkeypatch.setenv("MANIPOSE_XLA_COPTS", "xla_tpu_rwb_fusion=false")
+        assert tpu_compiler_options() == {"xla_tpu_rwb_fusion": "false"}
+        # and everything disabled returns None (no empty-dict jit arg)
+        monkeypatch.setenv("MANIPOSE_XLA_COPTS", "")
+        assert tpu_compiler_options() is None
+
+    def test_no_backend_init_side_effect(self, monkeypatch):
+        """Constructing a train step / Predictor must not initialize the
+        JAX backend: before init, the gate reads the jax_platforms
+        priority string instead of calling jax.default_backend() (which
+        would freeze the platform choice — and hang for minutes when
+        the TPU tunnel is down, CLAUDE.md)."""
+        import jax
+        from jax._src import xla_bridge
+
+        from manipose_tpu.utils.platform import tpu_compiler_options
+
+        monkeypatch.setattr(xla_bridge, "_backends", {})
+
+        def boom():
+            raise AssertionError("default_backend() initializes the backend")
+
+        monkeypatch.setattr(jax, "default_backend", boom)
+        # the suite pins jax_platforms to cpu (conftest) -> gate closed,
+        # and no init happened
+        assert (jax.config.jax_platforms or "").split(",")[0] == "cpu"
+        assert tpu_compiler_options() is None
+        # an axon/tpu-first priority list opens the gate without init
+        # (jax_platforms is a read-only property: patch it on the class)
+        monkeypatch.setattr(
+            type(jax.config),
+            "jax_platforms",
+            property(lambda self: "axon,cpu"),
+        )
+        assert tpu_compiler_options() == {
+            "xla_tpu_scoped_vmem_limit_kib": "32768"
+        }
 
     def test_train_step_builds_with_gate(self):
         # make_train_step must build (and run) with the gate returning

@@ -31,6 +31,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -57,7 +58,8 @@ def main(argv=None):
         default=None,
         help="override ops.attention.SPATIAL_PACK_MAX_GROUP for every "
         "ablation (sweep the spatial block-diagonal packing width; "
-        "g*17 should land just under a multiple of 128 lanes)",
+        "measured optimum is 8 — the under-128-lane heuristic LOST the "
+        "r3 on-chip sweep, see ops/attention.py)",
     )
     args = p.parse_args(argv)
 
@@ -186,10 +188,14 @@ def main(argv=None):
         the steps cannot be reordered/elided."""
         from manipose_tpu.train.losses import compute_loss
 
+        from manipose_tpu.utils.platform import tpu_compiler_options
+
         params = model.init(jax.random.PRNGKey(0), x[:1])
         loss_rng = jax.random.PRNGKey(1)
 
-        @jax.jit
+        # same compiler options as every make_train_step-built ablation:
+        # the fwd:bwd split must not absorb the scoped-VMEM budget delta
+        @partial(jax.jit, compiler_options=tpu_compiler_options())
         def fwd(carry, rng):
             pred = model.apply(
                 params, x + carry * 0.0, deterministic=False,
