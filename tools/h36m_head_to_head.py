@@ -52,6 +52,7 @@ import conftest  # noqa: E402
 from conftest import install_driver_stubs, load_ref_module  # noqa: E402
 
 L, J, K = 27, 17, 3
+N_VIDEOS = 8
 MODEL_KW = dict(
     embed_dim_rot=64, depth_rot=2, num_heads_rot=4,
     embed_dim_seg=16, depth_seg=2, num_heads_seg=4,
@@ -61,6 +62,30 @@ MODEL_KW = dict(
 )
 
 
+def set_scale(frames: int, dims: int, depth: int, heads: int | None,
+              dims_seg: int, depth_seg: int, n_videos: int) -> None:
+    """Scale the shared protocol (both sides read these globals).
+
+    The default (d=64/depth=2/L=27) finishes in minutes; ``--dims 128
+    --depth 4 --frames 81`` is the quarter-width/half-depth/third-length
+    point between it and the flagship (d=512/depth=8/L=243) — the
+    reference side is eager torch CPU, so full flagship scale (55 s/step,
+    BASELINE.md) is out of reach for a multi-seed trained comparison.
+    """
+    global L, N_VIDEOS, MODEL_KW
+    L = frames
+    N_VIDEOS = n_videos
+    MODEL_KW = dict(
+        embed_dim_rot=dims,
+        depth_rot=depth,
+        num_heads_rot=heads if heads else max(4, dims // 16),
+        embed_dim_seg=dims_seg,
+        depth_seg=depth_seg,
+        num_heads_seg=4,
+        drop_path_rate=0.1,
+    )
+
+
 def make_split(seed: int):
     from synthetic_overfit import make_videos
 
@@ -68,9 +93,13 @@ def make_split(seed: int):
 
     skel = h36m_skeleton_17()
     videos_3d, videos_2d = make_videos(
-        n_videos=8, n_frames=8 * L, skel=skel, seed=1000 + seed
+        n_videos=N_VIDEOS, n_frames=8 * L, skel=skel, seed=1000 + seed
     )
-    return (videos_3d[:6], videos_2d[:6]), (videos_3d[6:], videos_2d[6:])
+    n_train = max(1, (3 * N_VIDEOS) // 4)
+    return (
+        (videos_3d[:n_train], videos_2d[:n_train]),
+        (videos_3d[n_train:], videos_2d[n_train:]),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -176,9 +205,13 @@ def run_ours(seed: int, train_split, val_split, epochs: int):
         overrides=[
             f"run.seed={seed}",
             f"data.seq_len={L}",
-            "model.channels=64", "model.layers=2", "model.nheads=4",
-            "model.channels_seg=16", "model.layers_seg=2",
-            "model.nheads_seg=4", "model.drop_path_rate=0.1",
+            f"model.channels={MODEL_KW['embed_dim_rot']}",
+            f"model.layers={MODEL_KW['depth_rot']}",
+            f"model.nheads={MODEL_KW['num_heads_rot']}",
+            f"model.channels_seg={MODEL_KW['embed_dim_seg']}",
+            f"model.layers_seg={MODEL_KW['depth_seg']}",
+            f"model.nheads_seg={MODEL_KW['num_heads_seg']}",
+            "model.drop_path_rate=0.1",
             f"multi_hyp.n_hyp={K}",
             f"train.epochs={epochs}", "train.lr=1e-3",
             "train.lr_scheduler=plateau", "train.lr_patience=3",
@@ -237,16 +270,29 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--frames", type=int, default=27,
+                    help="window length L (flagship: 243)")
+    ap.add_argument("--dims", type=int, default=64,
+                    help="rotations-trunk width (flagship: 512)")
+    ap.add_argument("--depth", type=int, default=2,
+                    help="rotations-trunk depth (flagship: 8)")
+    ap.add_argument("--heads", type=int, default=None,
+                    help="rotations-trunk heads (default: dims//16)")
+    ap.add_argument("--dims-seg", type=int, default=16)
+    ap.add_argument("--depth-seg", type=int, default=2)
+    ap.add_argument("--n-videos", type=int, default=8)
     ap.add_argument(
         "--json",
         type=Path,
         default=REPO / "tools" / "artifacts" / "h36m_head_to_head.json",
     )
     args = ap.parse_args()
+    set_scale(args.frames, args.dims, args.depth, args.heads,
+              args.dims_seg, args.depth_seg, args.n_videos)
 
     results = {"reference": [], "ours": [], "protocol": {
         "seeds": args.seeds, "epochs": args.epochs, "seq_len": L,
-        "n_hyp": K, "model": MODEL_KW,
+        "n_hyp": K, "model": MODEL_KW, "n_videos": N_VIDEOS,
     }}
     for seed in args.seeds:
         train_split, val_split = make_split(seed)
