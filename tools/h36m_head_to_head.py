@@ -105,12 +105,20 @@ def make_split(seed: int):
 # ---------------------------------------------------------------------------
 # reference side
 # ---------------------------------------------------------------------------
-def run_reference(seed: int, train_split, val_split, epochs: int):
+def run_reference(seed: int, train_split, val_split, epochs: int,
+                  protocol: str = "h36m"):
+    """protocol="h36m": the reference's ``main_h36m_lifting.train`` +
+    its MPJPE test block. protocol="3dhp": the reference's OWN 3DHP
+    driver copy (``main_3dhp.train``) and its PCK@150/AUC test block
+    (``main_3dhp.py:800-905``: pck/auc on the oracle preds, agg_pck/
+    agg_auc on the aggregated ones, consistency on the oracle preds)."""
     import torch
     from torch.utils.data import DataLoader
 
     ref_rmcl_mod = install_driver_stubs()
-    ref_main = load_ref_module("main_h36m_lifting")
+    ref_main = load_ref_module(
+        "main_3dhp" if protocol == "3dhp" else "main_h36m_lifting"
+    )
     ref_generators = load_ref_module("mh_so3_hpe.data.generators")
     ref_reg = load_ref_module("mh_so3_hpe.metrics.regularizations")
 
@@ -159,12 +167,14 @@ def run_reference(seed: int, train_split, val_split, epochs: int):
         )
     model.eval()
     ref_eval = load_ref_module("eval_utils")
-    preds, _, perf, oracle, _, _ = ref_eval.evaluate(
+    preds, targets, perf, oracle, _, oracle_preds = ref_eval.evaluate(
         model=model, loader=loader(val_split, False), device="cpu",
         config=cfg, skeleton=ref_skel, compute_oracle=True,
     )
-    # reference metric layout: (B, 3, J, L) (``main_h36m_lifting.py:936-960``)
-    gen = torch.cat(preds, dim=0).permute(0, 3, 2, 1)  # mm
+    # evaluate() returns (B, L, J, 3); the drivers' metric blocks work in
+    # (B, 3, J, L) (``main_h36m_lifting.py:936-960``, ``main_3dhp.py:824-848``)
+    cons_src = oracle_preds if protocol == "3dhp" else preds
+    gen = torch.cat(cons_src, dim=0).permute(0, 3, 2, 1)  # mm
     _, _, j, _ = gen.shape
     mpsce = float(
         ref_reg.segments_time_consistency(
@@ -176,18 +186,35 @@ def run_reference(seed: int, train_split, val_split, epochs: int):
         ref_reg.sagittal_symmetry(gen, ref_skel, mode="average",
                                   squared=False)
     )
-    return {
+    out = {
         "best_val_mpjpe": float(best_mpjpe),
         "final_mpjpe": float(perf),
         "mpsce": mpsce,
         "mpsse": mpsse,
     }
+    if protocol == "3dhp":
+        # the 3DHP test block (``main_3dhp.py:879-905``): PCK@150/AUC,
+        # oracle preds for pck/auc, aggregated for agg_pck/agg_auc
+        ref_pck = load_ref_module("mh_so3_hpe.metrics.pck")
+        gt = (torch.cat(targets, dim=0) * 1000).reshape(-1, j, 3)
+        orc = torch.cat(oracle_preds, dim=0).reshape(-1, j, 3)
+        agg = torch.cat(preds, dim=0).reshape(-1, j, 3)
+        out["pck"] = float(ref_pck.keypoint_3d_pck(
+            pred=orc, gt=gt, mask=None, threshold=150))
+        out["auc"] = float(ref_pck.keypoint_3d_auc(
+            pred=orc, gt=gt, mask=None))
+        out["agg_pck"] = float(ref_pck.keypoint_3d_pck(
+            pred=agg, gt=gt, mask=None, threshold=150))
+        out["agg_auc"] = float(ref_pck.keypoint_3d_auc(
+            pred=agg, gt=gt, mask=None))
+    return out
 
 
 # ---------------------------------------------------------------------------
 # our side
 # ---------------------------------------------------------------------------
-def run_ours(seed: int, train_split, val_split, epochs: int):
+def run_ours(seed: int, train_split, val_split, epochs: int,
+             protocol: str = "h36m"):
     from manipose_tpu.config import load_config
     from manipose_tpu.data import PoseSequenceDataset, SequenceLoader
     from manipose_tpu.drivers.common import init_model_params, instantiate_model
@@ -244,11 +271,15 @@ def run_ours(seed: int, train_split, val_split, epochs: int):
             loader(val_split, False), tmp, rmcl=rmcl,
             save_checkpoints=False,
         )
-    preds, _, perf, oracle, _, _ = evaluate(
+    preds, targets, perf, oracle, _, oracle_preds = evaluate(
         model.apply, result.best_params, loader(val_split, False), skel,
         EvalConfig(tta=False, rmcl=True, compute_oracle=True),
     )
-    gen = np.concatenate(preds, axis=0)  # mm
+    # consistency source mirrors the reference protocol: aggregated preds
+    # for H36M, oracle preds for 3DHP (``main_3dhp.py:824-848``)
+    gen = np.concatenate(
+        oracle_preds if protocol == "3dhp" else preds, axis=0
+    )  # mm
     n, l, j, _ = gen.shape
     mpsce = float(
         segments_time_consistency(
@@ -258,16 +289,30 @@ def run_ours(seed: int, train_split, val_split, epochs: int):
     mpsse = float(
         sagittal_symmetry(gen, skel, mode="average", squared=False)
     )
-    return {
+    out = {
         "best_val_mpjpe": float(result.best_mpjpe),
         "final_mpjpe": float(perf),
         "mpsce": mpsce,
         "mpsse": mpsse,
     }
+    if protocol == "3dhp":
+        from manipose_tpu.metrics.pck import (
+            keypoint_3d_auc,
+            keypoint_3d_pck,
+        )
+
+        gt = (np.concatenate(targets, axis=0) * 1000.0).reshape(-1, j, 3)
+        orc = gen.reshape(-1, j, 3)
+        agg = np.concatenate(preds, axis=0).reshape(-1, j, 3)
+        out["pck"] = float(keypoint_3d_pck(orc, gt, threshold=150.0))
+        out["auc"] = float(keypoint_3d_auc(orc, gt))
+        out["agg_pck"] = float(keypoint_3d_pck(agg, gt, threshold=150.0))
+        out["agg_auc"] = float(keypoint_3d_auc(agg, gt))
+    return out
 
 
-def main():
-    ap = argparse.ArgumentParser(description=__doc__)
+def main(protocol: str = "h36m", doc: str | None = None):
+    ap = argparse.ArgumentParser(description=doc or __doc__)
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--frames", type=int, default=27,
@@ -284,23 +329,29 @@ def main():
     ap.add_argument(
         "--json",
         type=Path,
-        default=REPO / "tools" / "artifacts" / "h36m_head_to_head.json",
+        default=REPO / "tools" / "artifacts" / (
+            f"{protocol}_head_to_head.json" if protocol != "h36m"
+            else "h36m_head_to_head.json"
+        ),
     )
     args = ap.parse_args()
     set_scale(args.frames, args.dims, args.depth, args.heads,
               args.dims_seg, args.depth_seg, args.n_videos)
 
     results = {"reference": [], "ours": [], "protocol": {
+        "name": protocol,
         "seeds": args.seeds, "epochs": args.epochs, "seq_len": L,
         "n_hyp": K, "model": MODEL_KW, "n_videos": N_VIDEOS,
     }}
     for seed in args.seeds:
         train_split, val_split = make_split(seed)
         print(f"=== seed {seed}: reference (torch) ===", flush=True)
-        ref = run_reference(seed, train_split, val_split, args.epochs)
+        ref = run_reference(seed, train_split, val_split, args.epochs,
+                            protocol=protocol)
         print(f"  -> {ref}", flush=True)
         print(f"=== seed {seed}: manipose_tpu ===", flush=True)
-        ours = run_ours(seed, train_split, val_split, args.epochs)
+        ours = run_ours(seed, train_split, val_split, args.epochs,
+                        protocol=protocol)
         print(f"  -> {ours}", flush=True)
         results["reference"].append(ref)
         results["ours"].append(ours)
@@ -309,8 +360,11 @@ def main():
         v = np.asarray([r[key] for r in rows])
         return f"{v.mean():8.3f} ± {v.std():6.3f}"
 
+    keys = ["best_val_mpjpe", "final_mpjpe", "mpsce", "mpsse"]
+    if protocol == "3dhp":
+        keys += ["pck", "auc", "agg_pck", "agg_auc"]
     print("\nmetric                reference             ours")
-    for key in ("best_val_mpjpe", "final_mpjpe", "mpsce", "mpsse"):
+    for key in keys:
         print(
             f"{key:20s} {stats(results['reference'], key)}   "
             f"{stats(results['ours'], key)}"
