@@ -21,7 +21,12 @@ for agg_pck/agg_auc, consistency on the oracle preds —
 import sys
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from manipose_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
 
 from h36m_head_to_head import main  # noqa: E402
 
