@@ -131,6 +131,59 @@ class TestRMCLParity:
             np.asarray(scores), ref_scores.numpy(), atol=1e-5
         )
 
+    @pytest.mark.parametrize(
+        "shape",
+        [
+            # 4D rotation repr, wide-shallow trunk, K=5
+            dict(embed=96, depth=1, heads=6, embed_seg=16, depth_seg=1,
+                 heads_seg=4, n_hyp=5, rot=4, frames=9),
+            # K=1 edge (single-hypothesis rMCL), deep-narrow trunk
+            dict(embed=32, depth=4, heads=2, embed_seg=48, depth_seg=3,
+                 heads_seg=3, n_hyp=1, rot=6, frames=27),
+        ],
+        ids=["rot4d-k5", "k1-deep"],
+    )
+    def test_forward_equivalence_across_shapes(self, ref_skel, shape):
+        """The converter and the flax models must stay parity-exact at
+        shapes the fixed-DIMS tests never visit (alternate rotation
+        repr, head counts, trunk aspect ratios, window lengths)."""
+        torch.manual_seed(7)
+        kw = dict(
+            skeleton=ref_skel, num_frame=shape["frames"], num_joints=J,
+            num_bones=16, in_chans=2, rot_rep_dim=shape["rot"],
+            embed_dim_rot=shape["embed"], depth_rot=shape["depth"],
+            num_heads_rot=shape["heads"],
+            embed_dim_seg=shape["embed_seg"], depth_seg=shape["depth_seg"],
+            num_heads_seg=shape["heads_seg"],
+        )
+        tmodel = ref_rmcl.RMCLManifoldMixSTE(n_hyp=shape["n_hyp"], **kw)
+        tmodel.eval()
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(B, shape["frames"], J, 2)).astype(np.float32)
+        with torch.no_grad():
+            ref_poses, ref_scores = tmodel(torch.from_numpy(x))
+
+        variables = convert_torch_state_dict(
+            tmodel.state_dict(), "rmcl_manifold"
+        )
+        cfg = ManifoldConfig(
+            num_frame=shape["frames"], num_joints=J, num_bones=16,
+            rot_rep_dim=shape["rot"],
+            embed_dim_rot=shape["embed"], depth_rot=shape["depth"],
+            num_heads_rot=shape["heads"],
+            embed_dim_seg=shape["embed_seg"], depth_seg=shape["depth_seg"],
+            num_heads_seg=shape["heads_seg"], n_hyp=shape["n_hyp"],
+        )
+        poses, scores = RMCLManifoldMixSTE(cfg, h36m_skeleton_17()).apply(
+            jax.tree_util.tree_map(jnp.asarray, variables), jnp.asarray(x)
+        )
+        np.testing.assert_allclose(
+            np.asarray(poses), ref_poses.numpy(), atol=5e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(scores), ref_scores.numpy(), atol=1e-5
+        )
+
     def test_wrapped_and_dataparallel_keys(self, ref_skel):
         torch.manual_seed(3)
         tmodel = ref_rmcl.RMCLManifoldMixSTE(
