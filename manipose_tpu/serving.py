@@ -176,6 +176,36 @@ class Predictor:
 
     # ------------------------------------------------------------------
     @classmethod
+    def from_any(
+        cls,
+        checkpoint: str = "",
+        tag: str = "best_val",
+        cfg: Optional[Config] = None,
+        **kw,
+    ):
+        """One loader for every checkpoint flavor.
+
+        ``*.pth`` files go through the reference-format converter,
+        anything else non-empty is treated as an orbax run directory
+        (``tag`` selects the best-tag subtree), and an empty string
+        yields random weights (smoke-test mode, with a warning). All
+        CLI tools route through here so the dispatch logic cannot
+        drift between them.
+        """
+        checkpoint = str(checkpoint or "")
+        if checkpoint.endswith(".pth"):
+            return cls.from_torch_checkpoint(checkpoint, cfg=cfg, **kw)
+        if checkpoint:
+            return cls.from_checkpoint(checkpoint, tag=tag, cfg=cfg, **kw)
+        import warnings
+
+        warnings.warn(
+            "no checkpoint given; using random weights (smoke-test mode)",
+            stacklevel=2,
+        )
+        return cls(cfg=cfg, **kw)
+
+    @classmethod
     def from_torch_checkpoint(cls, path, cfg: Optional[Config] = None, **kw):
         """Load a reference ``.pth`` checkpoint (e.g. manipose_h36m.pth)."""
         if cfg is None:

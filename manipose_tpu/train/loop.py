@@ -74,6 +74,8 @@ def train(
             width=cfg.model.channels,
             base_width=cfg.model.get("mup_base_width", 64),
             weight_decay=1e-6,
+            grad_clip=float(cfg_train.get("grad_clip", 0.0)),
+            skip_nonfinite=bool(cfg_train.get("skip_nonfinite", False)),
         )
     else:
         tx = make_optimizer(

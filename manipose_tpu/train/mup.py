@@ -62,11 +62,18 @@ def mup_lr_scales(params, width_mult: float):
 
 
 def make_mup_optimizer(
-    params, width: int, base_width: int = 64, weight_decay: float = 1e-6
+    params,
+    width: int,
+    base_width: int = 64,
+    weight_decay: float = 1e-6,
+    grad_clip: float = 0.0,
+    skip_nonfinite: bool = False,
 ) -> optax.GradientTransformation:
     """MuAdam-semantics optimizer: torch-coupled weight decay + Adam with
     per-param LR scaling; the global LR is injected per step like
-    :func:`manipose_tpu.train.optim.make_optimizer`."""
+    :func:`manipose_tpu.train.optim.make_optimizer`, and the same
+    robustness knobs (``grad_clip``/``skip_nonfinite``) apply so
+    ``model.mup=true`` does not silently drop them."""
     width_mult = width / base_width
     scales = mup_lr_scales(params, width_mult)
 
@@ -82,11 +89,19 @@ def make_mup_optimizer(
 
         return optax.GradientTransformation(init_fn, update_fn)
 
-    return optax.inject_hyperparams(
-        lambda learning_rate: optax.chain(
+    def chain(learning_rate):
+        parts = []
+        if grad_clip > 0.0:
+            parts.append(optax.clip_by_global_norm(grad_clip))
+        parts += [
             optax.add_decayed_weights(weight_decay),
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
             scale_by_mup(),
             optax.scale(-learning_rate),
-        )
-    )(learning_rate=0.0)
+        ]
+        return optax.chain(*parts)
+
+    tx = optax.inject_hyperparams(chain)(learning_rate=0.0)
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=10_000)
+    return tx

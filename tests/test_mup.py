@@ -190,3 +190,66 @@ class TestMuP:
         # and the optimum itself moves at most one grid step
         drift = abs(result["best_idx"][32] - result["best_idx"][128])
         assert drift <= 1, result["best_idx"]
+
+
+class TestMupRobustnessKnobs:
+    """model.mup=true must not silently drop train.grad_clip /
+    train.skip_nonfinite (review r3: the muP optimizer branch ignored
+    both while configs/config.yaml documents them unconditionally)."""
+
+    def _setup(self, **kw):
+        import optax
+
+        from manipose_tpu.train.optim import set_learning_rate
+
+        params = {"attn": {"qkv": {"kernel": jnp.ones((4, 4))}},
+                  "bias": jnp.zeros(4)}
+        tx = make_mup_optimizer(params, width=64, base_width=32,
+                                weight_decay=0.0, **kw)
+        state = tx.init(params)
+        set_learning_rate(state, 1.0)
+        return optax, params, tx, state
+
+    def test_skip_nonfinite_skips_nan_steps(self):
+        optax, params, tx, state = self._setup(skip_nonfinite=True)
+        bad = jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, jnp.nan), params
+        )
+        updates, state = tx.update(bad, state, params)
+        new_params = optax.apply_updates(params, updates)
+        for a, b in zip(jax.tree_util.tree_leaves(new_params),
+                        jax.tree_util.tree_leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # a finite step afterwards still applies
+        good = jax.tree_util.tree_map(lambda p: jnp.ones_like(p), params)
+        updates, state = tx.update(good, state, params)
+        moved = optax.apply_updates(params, updates)
+        assert not np.allclose(
+            np.asarray(jax.tree_util.tree_leaves(moved)[0]),
+            np.asarray(jax.tree_util.tree_leaves(params)[0]),
+        )
+
+    def test_grad_clip_reaches_the_chain(self):
+        # first-step Adam is scale-invariant, so a uniform clip alone is
+        # unobservable; with coupled weight decay (added AFTER the clip)
+        # a huge negative gradient flips the effective sign only when
+        # clipping is active: clip(-1e6) + wd*1 > 0 vs -1e6 + wd*1 < 0
+        import optax
+
+        from manipose_tpu.train.optim import set_learning_rate
+
+        params = {"attn": {"qkv": {"kernel": jnp.ones((4, 4))}}}
+
+        def step(grad_clip):
+            tx = make_mup_optimizer(params, width=64, base_width=32,
+                                    weight_decay=1.0, grad_clip=grad_clip)
+            state = tx.init(params)
+            set_learning_rate(state, 1.0)
+            huge = jax.tree_util.tree_map(
+                lambda p: jnp.full_like(p, -1e6), params
+            )
+            updates, _ = tx.update(huge, state, params)
+            return np.asarray(jax.tree_util.tree_leaves(updates)[0])
+
+        assert (step(grad_clip=1e-3) < 0).all()  # decay dominates: descend
+        assert (step(grad_clip=0.0) > 0).all()  # raw huge negative grad

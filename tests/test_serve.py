@@ -202,3 +202,27 @@ class TestHTTP:
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+    def test_oversized_body_is_rejected_without_reading(self, server):
+        """A huge Content-Length must 400 immediately — not buffer the
+        body (one bogus header would otherwise OOM the process)."""
+        from serve import make_http_server
+
+        httpd = make_http_server(server, "127.0.0.1", 0)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            # declare 8 GiB but send no body: with the cap the server
+            # answers without reading; without it, read() would hang
+            conn = HTTPConnection("127.0.0.1", port, timeout=30)
+            conn.putrequest("POST", "/predict")
+            conn.putheader("Content-Type", "application/json")
+            conn.putheader("Content-Length", str(8 << 30))
+            conn.endheaders()
+            r = conn.getresponse()
+            assert r.status == 400
+            assert "oversized" in json.loads(r.read())["error"]
+        finally:
+            httpd.shutdown()
+            httpd.server_close()

@@ -387,3 +387,42 @@ class TestDataParallelServing:
         # ValueError (not assert): the guard must survive python -O
         with pytest.raises(ValueError, match="must divide"):
             Predictor(cfg=cfg, batch_size=3, data_parallel=True)
+
+
+class TestFromAny:
+    """Predictor.from_any: the single dispatch every CLI tool routes
+    through (review r3: four hand-rolled variants had already drifted)."""
+
+    def test_pth_routes_to_torch_converter(self, monkeypatch):
+        calls = {}
+        def fake_torch(cls, path, cfg=None, **kw):
+            calls["torch"] = (path, kw)
+            return "T"
+
+        monkeypatch.setattr(
+            Predictor, "from_torch_checkpoint", classmethod(fake_torch)
+        )
+        out = Predictor.from_any("/some/manipose_h36m.pth", batch_size=4)
+        assert out == "T"
+        assert calls["torch"][0].endswith(".pth")
+        assert calls["torch"][1]["batch_size"] == 4
+
+    def test_directory_routes_to_orbax(self, monkeypatch):
+        calls = {}
+        def fake_orbax(cls, d, tag="best_val", cfg=None, **kw):
+            calls["orbax"] = (d, tag)
+            return "O"
+
+        monkeypatch.setattr(
+            Predictor, "from_checkpoint", classmethod(fake_orbax)
+        )
+        out = Predictor.from_any("/runs/exp1", tag="best_mpjpe")
+        assert out == "O"
+        assert calls["orbax"] == ("/runs/exp1", "best_mpjpe")
+
+    def test_empty_warns_and_uses_random_weights(self):
+        cfg = load_config("config", overrides=OVERRIDES)
+        with pytest.warns(UserWarning, match="random weights"):
+            p = Predictor.from_any("", cfg=cfg, batch_size=2, tta=False)
+        assert isinstance(p, Predictor)
+        assert p.batch_size == 2

@@ -8,7 +8,6 @@ jitted forward with TTA, aggregation — in frames/sec on the flagship
 """
 
 import json
-import os
 import sys
 import time
 from pathlib import Path
@@ -23,11 +22,9 @@ import numpy as np
 
 import jax
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-tpu-cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from manipose_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def main():

@@ -11,7 +11,6 @@ beat the blocked per-step number thanks to dispatch overlap; r2 measured
 """
 
 import argparse
-import os
 import sys
 import time
 from pathlib import Path
@@ -27,11 +26,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-tpu-cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from manipose_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def main():

@@ -57,15 +57,7 @@ def main(argv=None):
 
     cfg = load_config("config", overrides=args.overrides)
     kw = dict(cfg=cfg, batch_size=args.batch_size, tta=not args.no_tta)
-    ckpt = str(args.checkpoint)
-    if ckpt.endswith(".pth"):
-        predictor = Predictor.from_torch_checkpoint(ckpt, **kw)
-    elif ckpt:
-        predictor = Predictor.from_checkpoint(ckpt, tag=args.tag, **kw)
-    else:
-        print("WARNING: no --checkpoint given; exporting random weights "
-              "(smoke-test mode)")
-        predictor = Predictor(**kw)
+    predictor = Predictor.from_any(args.checkpoint, tag=args.tag, **kw)
 
     data = predictor.export_stablehlo(
         args.output, batch_symbolic=not args.fixed_batch

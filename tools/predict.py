@@ -20,19 +20,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-import os
-
-import jax
-
+from manipose_tpu.utils.compile_cache import enable_compilation_cache
 from manipose_tpu.utils.platform import apply_platform_env
 
 apply_platform_env()
 # remote TPU compiles take minutes per graph; cache across invocations
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-tpu-cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# (the helper also guards against redirecting JAX's pinned cache object
+# when another component already compiled under a different directory)
+enable_compilation_cache()
 
 import numpy as np
 
@@ -77,15 +72,7 @@ def main(argv=None):
         tta=not args.no_tta,
         quantize=args.int8,
     )
-    ckpt = str(args.checkpoint)
-    if ckpt.endswith(".pth"):
-        predictor = Predictor.from_torch_checkpoint(ckpt, **kw)
-    elif ckpt:
-        predictor = Predictor.from_checkpoint(ckpt, tag=args.tag, **kw)
-    else:
-        print("WARNING: no --checkpoint given; using random weights "
-              "(smoke-test mode)")
-        predictor = Predictor(**kw)
+    predictor = Predictor.from_any(args.checkpoint, tag=args.tag, **kw)
 
     if args.hypotheses and not predictor.rmcl:
         print(

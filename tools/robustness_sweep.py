@@ -73,12 +73,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from manipose_tpu.config import load_config
-    from manipose_tpu.drivers.common import (
-        init_model_params,
-        instantiate_model,
-    )
     from manipose_tpu.eval.engine import EvalConfig, evaluate
-    from manipose_tpu.train.checkpoint import load_torch_checkpoint
+    from manipose_tpu.serving import Predictor
 
     base_overrides = list(args.overrides)
     if args.dataset == "3dhp":
@@ -112,21 +108,10 @@ def main(argv=None):
                 train=False,
             )
 
-    model, rmcl = instantiate_model(cfg, skeleton)
-    if args.checkpoint.endswith(".pth"):
-        variables = jax.tree_util.tree_map(
-            jnp.asarray,
-            load_torch_checkpoint(args.checkpoint, cfg.model.arch),
-        )
-    elif args.checkpoint:
-        from manipose_tpu.train.checkpoint import restore_checkpoint
-
-        variables = init_model_params(model, cfg, skeleton.num_joints)
-        variables = restore_checkpoint(args.checkpoint, args.tag, variables)
-    else:
-        print("WARNING: no --checkpoint; sweeping random weights "
-              "(smoke-test mode)")
-        variables = init_model_params(model, cfg, skeleton.num_joints)
+    # one shared loader for all checkpoint flavors (.pth / orbax / none)
+    loaded = Predictor.from_any(args.checkpoint, tag=args.tag, cfg=cfg,
+                                skeleton=skeleton)
+    model, rmcl, variables = loaded.model, loaded.rmcl, loaded.variables
 
     eval_cfg = EvalConfig(tta=cfg.train.tta, rmcl=rmcl, compute_oracle=rmcl)
 

@@ -66,16 +66,7 @@ def build_predictor(args):
         quantize=args.quantize,
         data_parallel=args.data_parallel,
     )
-    if args.checkpoint.endswith(".pth"):
-        return Predictor.from_torch_checkpoint(args.checkpoint, **kw)
-    if args.checkpoint:
-        kw.pop("cfg")
-        return Predictor.from_checkpoint(
-            args.checkpoint, tag=args.tag, cfg=cfg, **kw
-        )
-    print("WARNING: no --checkpoint; serving random weights "
-          "(smoke-test mode)")
-    return Predictor(**kw)
+    return Predictor.from_any(args.checkpoint, tag=args.tag, **kw)
 
 
 class PoseServer:
@@ -209,10 +200,17 @@ def make_http_server(server: PoseServer, host: str, port: int) -> HTTPServer:
             self.end_headers()
             self.wfile.write(data)
 
+        # One JSON body must fit comfortably in memory: 64 MiB covers
+        # ~500k frames of float keypoints; anything larger is a client
+        # bug or abuse and must not OOM the (single-threaded) server.
+        MAX_BODY_BYTES = 64 << 20
+
         def _body(self):
             n = int(self.headers.get("Content-Length") or 0)
             if not n:
                 return {}
+            if n > self.MAX_BODY_BYTES:
+                return None
             try:
                 return json.loads(self.rfile.read(n))
             except json.JSONDecodeError:
@@ -224,7 +222,7 @@ def make_http_server(server: PoseServer, host: str, port: int) -> HTTPServer:
         def do_POST(self):
             body = self._body()
             if body is None:
-                self._respond(400, {"error": "invalid JSON body"})
+                self._respond(400, {"error": "invalid or oversized JSON body"})
                 return
             self._respond(*server.handle("POST", self.path, body))
 

@@ -89,17 +89,7 @@ def main(argv=None):
     n_frames = sum(len(p3) for p3, _ in sequences)
 
     kw = dict(cfg=cfg, skeleton=skeleton, batch_size=1, tta=cfg.train.tta)
-    if args.checkpoint.endswith(".pth"):
-        predictor = Predictor.from_torch_checkpoint(args.checkpoint, **kw)
-    elif args.checkpoint:
-        kw_cfg = kw.pop("cfg")
-        predictor = Predictor.from_checkpoint(
-            args.checkpoint, tag=args.tag, cfg=kw_cfg, **kw
-        )
-    else:
-        print("WARNING: no --checkpoint; scoring random weights "
-              "(smoke-test mode)")
-        predictor = Predictor(**kw)
+    predictor = Predictor.from_any(args.checkpoint, tag=args.tag, **kw)
     L = predictor.seq_len
     lookaheads = (
         args.lookaheads if args.lookaheads is not None

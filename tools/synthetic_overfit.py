@@ -11,7 +11,6 @@ predict-zero baseline; random inputs could never show that.
 """
 
 import argparse
-import os
 import sys
 import time
 from pathlib import Path
@@ -26,11 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-tpu-cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from manipose_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 from manipose_tpu.geometry import (
     forward_kinematics,
