@@ -148,6 +148,59 @@ def step_flops(step, state, x, y) -> float:
         return 0.0
 
 
+def _force_with_deadline(fn, what: str, timeout_s: float):
+    """Run ``fn`` (a blocking device-forcing call) under a deadline.
+
+    Failure mode observed 2026-08-20: ``jax.devices()`` answers but the
+    first compile/execute RPC hangs forever (the tunnel's compile
+    service is down while its discovery endpoint is up). The hung RPC
+    blocks a thread uninterruptibly, so on deadline we print a
+    diagnosis and hard-exit — a fast, attributed failure instead of a
+    silent hang until the caller's outer timeout.
+    """
+    import sys
+    import threading
+
+    done = threading.Event()
+    result = {}
+
+    def run():
+        try:
+            result["v"] = fn()
+        except Exception as e:  # noqa: BLE001 — re-raised below
+            result["e"] = e
+        finally:
+            done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(
+            f"bench: {what} did not complete within {timeout_s:.0f}s — "
+            "the TPU tunnel's compile/execute service is unresponsive "
+            "(devices enumerate but RPCs hang). Retry when the tunnel "
+            "recovers.",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(3)
+    if "e" in result:
+        raise result["e"]
+    return result.get("v")
+
+
+def _preflight_compute(timeout_s: float | None = None):
+    """Prove the device can actually compile+run before the big graph."""
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("BENCH_PREFLIGHT_DEADLINE_S", "240"))
+
+    def tiny():
+        x = jnp.ones((256, 256), jnp.bfloat16)
+        return float(jnp.sum(x @ x))
+
+    _force_with_deadline(tiny, "preflight 256x256 matmul", timeout_s)
+
+
 def _require_devices(timeout_s: float = 300.0):
     """Fail fast (with a diagnosis) when the TPU tunnel is down.
 
@@ -185,6 +238,7 @@ def _require_devices(timeout_s: float = 300.0):
 
 def main():
     _require_devices()
+    _preflight_compute()
     from manipose_tpu.geometry import h36m_skeleton_17
     from manipose_tpu.models import ManifoldConfig, RMCLManifoldMixSTE
     from manipose_tpu.train import (
@@ -223,10 +277,21 @@ def main():
     # warmup that doesn't actually drain leaves cold-cache compile work
     # inside the timed window (observed as a 30x-low reading right after
     # a model-graph change invalidated the compile cache).
-    for _ in range(3):
-        state, metrics = step(state, x, y, 4e-5)
-        _ = float(metrics["loss"])
-    _ = float(jnp.sum(jax.tree_util.tree_leaves(state.params)[0]))
+    def warmup(state=state):
+        for _ in range(3):
+            state, metrics = step(state, x, y, 4e-5)
+            _ = float(metrics["loss"])
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(state.params)[0]))
+        return state
+
+    # Deadline covers a legitimately-cold flagship compile (minutes,
+    # remote compiler) but converts a hung tunnel into a fast,
+    # diagnosed exit instead of a silent stall (see _force_with_deadline).
+    state = _force_with_deadline(
+        warmup,
+        "flagship compile + 3-step warmup",
+        float(os.environ.get("BENCH_WARMUP_DEADLINE_S", "1200")),
+    )
 
     # Pipelined measurement (the production regime): dispatch steps
     # asynchronously and force completion ONCE at the end via float(...)
