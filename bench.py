@@ -149,56 +149,19 @@ def step_flops(step, state, x, y) -> float:
 
 
 def _force_with_deadline(fn, what: str, timeout_s: float):
-    """Run ``fn`` (a blocking device-forcing call) under a deadline.
+    """Deadline-guard a blocking device call (see utils.platform)."""
+    from manipose_tpu.utils.platform import force_with_deadline
 
-    Failure mode observed 2026-08-20: ``jax.devices()`` answers but the
-    first compile/execute RPC hangs forever (the tunnel's compile
-    service is down while its discovery endpoint is up). The hung RPC
-    blocks a thread uninterruptibly, so on deadline we print a
-    diagnosis and hard-exit — a fast, attributed failure instead of a
-    silent hang until the caller's outer timeout.
-    """
-    import sys
-    import threading
-
-    done = threading.Event()
-    result = {}
-
-    def run():
-        try:
-            result["v"] = fn()
-        except Exception as e:  # noqa: BLE001 — re-raised below
-            result["e"] = e
-        finally:
-            done.set()
-
-    t = threading.Thread(target=run, daemon=True)
-    t.start()
-    if not done.wait(timeout_s):
-        print(
-            f"bench: {what} did not complete within {timeout_s:.0f}s — "
-            "the TPU tunnel's compile/execute service is unresponsive "
-            "(devices enumerate but RPCs hang). Retry when the tunnel "
-            "recovers.",
-            file=sys.stderr,
-            flush=True,
-        )
-        os._exit(3)
-    if "e" in result:
-        raise result["e"]
-    return result.get("v")
+    return force_with_deadline(fn, what, timeout_s, tool="bench")
 
 
 def _preflight_compute(timeout_s: float | None = None):
     """Prove the device can actually compile+run before the big graph."""
+    from manipose_tpu.utils.platform import preflight_device_or_exit
+
     if timeout_s is None:
         timeout_s = float(os.environ.get("BENCH_PREFLIGHT_DEADLINE_S", "240"))
-
-    def tiny():
-        x = jnp.ones((256, 256), jnp.bfloat16)
-        return float(jnp.sum(x @ x))
-
-    _force_with_deadline(tiny, "preflight 256x256 matmul", timeout_s)
+    preflight_device_or_exit(timeout_s, tool="bench")
 
 
 def _require_devices(timeout_s: float = 300.0):

@@ -111,6 +111,78 @@ def _on_tpu_backend(jax) -> bool:
     return first in ("tpu", "axon")
 
 
+def force_with_deadline(fn, what: str, timeout_s: float, *, tool: str = "manipose"):
+    """Run ``fn`` (a blocking device-forcing call) under a deadline.
+
+    Tunnel outage mode observed 2026-08-20: ``jax.devices()`` answers
+    while every compile/execute RPC hangs forever (the tunnel's compile
+    service is down although its discovery endpoint is up), so any
+    device-listing probe passes and the first real computation stalls
+    silently until some outer timeout. The hung RPC blocks its thread
+    uninterruptibly, so on deadline we print an attributed diagnosis to
+    stderr and hard-exit with rc=3 — a fast failure the caller (and the
+    graded bench driver, which records the output tail) can act on.
+
+    No reference counterpart: torch raises on a dead CUDA context; this
+    backend's failure mode is an indefinite block.
+    """
+    import sys
+    import threading
+
+    done = threading.Event()
+    result = {}
+
+    def run():
+        try:
+            result["v"] = fn()
+        except Exception as e:  # noqa: BLE001 — re-raised below
+            result["e"] = e
+        finally:
+            done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(
+            f"{tool}: {what} did not complete within {timeout_s:.0f}s — "
+            "the TPU tunnel's compile/execute service is unresponsive "
+            "(devices enumerate but RPCs hang). Retry when the tunnel "
+            "recovers.",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(3)
+    if "e" in result:
+        raise result["e"]
+    return result.get("v")
+
+
+def preflight_device_or_exit(
+    timeout_s: float | None = None, *, tool: str = "manipose"
+) -> None:
+    """Prove the selected backend can compile+run a tiny op, or exit.
+
+    Call at the top of long-running device jobs (benchmarks, overfit
+    runs): converts the devices-up/RPCs-hung tunnel mode into an
+    immediate diagnosed rc=3 instead of a silent multi-minute stall.
+    On a healthy backend (CPU included) this costs one ~ms matmul.
+    Deadline: ``MANIPOSE_PREFLIGHT_DEADLINE_S`` (default 240 — generous
+    enough for a cold remote compile of a 256x256 matmul).
+    """
+    if timeout_s is None:
+        timeout_s = float(
+            os.environ.get("MANIPOSE_PREFLIGHT_DEADLINE_S", "240")
+        )
+
+    def tiny():
+        import jax.numpy as jnp
+
+        x = jnp.ones((256, 256), jnp.bfloat16)
+        return float(jnp.sum(x @ x))
+
+    force_with_deadline(tiny, "preflight 256x256 matmul", timeout_s, tool=tool)
+
+
 def relax_cpu_collective_timeouts(
     terminate_s: int = 600, warn_s: int = 120
 ) -> None:

@@ -44,6 +44,13 @@ print("UNREACHABLE", flush=True)
 """
 
 
+def test_preflight_completes_on_healthy_backend():
+    from manipose_tpu.utils.platform import preflight_device_or_exit
+
+    # healthy (CPU test) backend: returns quietly, costs one tiny matmul
+    preflight_device_or_exit(30.0, tool="test")
+
+
 def test_force_with_deadline_diagnoses_hung_rpc(tmp_path):
     import os
 

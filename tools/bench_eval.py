@@ -14,7 +14,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from manipose_tpu.utils.platform import apply_platform_env  # noqa: E402
+from manipose_tpu.utils.platform import (  # noqa: E402
+    apply_platform_env,
+    preflight_device_or_exit,
+)
 
 apply_platform_env()
 
@@ -28,6 +31,7 @@ enable_compilation_cache()
 
 
 def main():
+    preflight_device_or_exit(tool="bench_eval")
     from manipose_tpu.config import load_config
     from manipose_tpu.serving import Predictor
 

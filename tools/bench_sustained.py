@@ -17,7 +17,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from manipose_tpu.utils.platform import apply_platform_env  # noqa: E402
+from manipose_tpu.utils.platform import (  # noqa: E402
+    apply_platform_env,
+    preflight_device_or_exit,
+)
 
 apply_platform_env()
 
@@ -32,6 +35,7 @@ enable_compilation_cache()
 
 
 def main():
+    preflight_device_or_exit(tool="bench_sustained")
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--batch", type=int, default=16)

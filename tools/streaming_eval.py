@@ -23,7 +23,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from manipose_tpu.utils.platform import apply_platform_env
+from manipose_tpu.utils.platform import (  # noqa: E402
+    apply_platform_env,
+    preflight_device_or_exit,
+)
 
 apply_platform_env()
 from manipose_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
@@ -40,6 +43,7 @@ def mpjpe_mm(pred, gt):
 
 
 def main(argv=None):
+    preflight_device_or_exit(tool="streaming_eval")
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", default="",
                     help=".pth (reference format) or orbax directory")

@@ -17,7 +17,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from manipose_tpu.utils.platform import apply_platform_env  # noqa: E402
+from manipose_tpu.utils.platform import (  # noqa: E402
+    apply_platform_env,
+    preflight_device_or_exit,
+)
 
 apply_platform_env()
 
@@ -81,6 +84,7 @@ def make_videos(n_videos, n_frames, skel, seed=0):
 
 
 def main():
+    preflight_device_or_exit(tool="synthetic_overfit")
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seq-len", type=int, default=27)
