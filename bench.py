@@ -155,53 +155,105 @@ def _force_with_deadline(fn, what: str, timeout_s: float):
     return force_with_deadline(fn, what, timeout_s, tool="bench")
 
 
-def _preflight_compute(timeout_s: float | None = None):
-    """Prove the device can actually compile+run before the big graph."""
-    from manipose_tpu.utils.platform import preflight_device_or_exit
+def _probe_device_subprocess(deadline_s: float):
+    """One device-health probe in a SUBPROCESS: backend init + a tiny
+    compiled matmul under a deadline.
 
-    if timeout_s is None:
-        timeout_s = float(os.environ.get("BENCH_PREFLIGHT_DEADLINE_S", "240"))
-    preflight_device_or_exit(timeout_s, tool="bench")
-
-
-def _require_devices(timeout_s: float = 300.0):
-    """Fail fast (with a diagnosis) when the TPU tunnel is down.
-
-    Backend init through the tunnel blocks for tens of minutes when the
-    remote service is unreachable (observed 2026-08-17: a multi-hour
-    outage); a silent hang here looks like a benchmark failure. Probe
-    jax.devices() in a daemon thread with a deadline instead.
+    Subprocess, not in-process: a probe that hangs wedges its thread on
+    an uninterruptible tunnel RPC, and a later retry from the same
+    process would inherit whatever state (locks, half-initialized
+    backend) the wedged thread holds. A child either exits 0 (healthy),
+    exits 3 with the attributed tunnel diagnosis, or is killed at the
+    outer timeout. Returns (ok, diagnosis_tail).
     """
-    import threading
-
-    result = {}
-
-    def probe():
-        try:
-            result["devices"] = jax.devices()
-        except Exception as e:  # noqa: BLE001 — report, don't mask
-            result["error"] = e
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if t.is_alive():
-        raise SystemExit(
-            f"bench: no JAX devices after {timeout_s:.0f}s — the TPU "
-            "tunnel is likely down (backend init is hanging). Retry when "
-            "the tunnel is back."
-        )
-    if "error" in result:
-        raise SystemExit(f"bench: backend init failed: {result['error']}")
+    import subprocess
     import sys
 
-    # stdout carries exactly ONE JSON line (the driver contract)
-    print(f"devices: {result['devices']}", file=sys.stderr, flush=True)
+    code = (
+        "from manipose_tpu.utils.platform import (\n"
+        "    apply_platform_env, preflight_device_or_exit)\n"
+        "apply_platform_env()\n"  # honor MANIPOSE_PLATFORM (tests: cpu)
+        "preflight_device_or_exit(tool='bench-probe')\n"
+        "import sys, jax\n"
+        "print(f'devices: {jax.devices()}', file=sys.stderr)\n"
+    )
+    # No compile-cache dir forced here: the probe's 256x256 matmul is a
+    # seconds-long compile, and pointing a CPU-platform probe (tests) at
+    # the TPU tunnel cache would be exactly the cross-platform cache
+    # contamination utils.platform.cpu_cache_dir exists to prevent.
+    env = dict(os.environ, MANIPOSE_PREFLIGHT_DEADLINE_S=str(deadline_s))
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            env=env, capture_output=True, text=True,
+            timeout=deadline_s + 120,  # headroom for interpreter + imports
+        )
+    except subprocess.TimeoutExpired:
+        return False, "probe subprocess exceeded its outer timeout"
+    if proc.returncode == 0:
+        print(proc.stderr.strip(), file=sys.stderr, flush=True)
+        return True, ""
+    return False, proc.stderr.strip()[-1500:]
+
+
+def _await_device_or_exit():
+    """Bounded retry loop around the device probe (VERDICT r3 #2).
+
+    A transient tunnel outage (the r3 bench window: tunnel back within
+    ~2h, artifact already voided) should not void the graded artifact
+    when the driver's bench window allows waiting. Re-probe every
+    ``BENCH_RETRY_INTERVAL_S`` (default 120) up to
+    ``BENCH_RETRY_BUDGET_S`` (default 1200 — ~20 min) before emitting
+    the rc=3 diagnosis. A healthy first probe costs one subprocess
+    (~10-30 s incl. imports).
+
+    Probe deadline: ``BENCH_PREFLIGHT_DEADLINE_S`` falling back to the
+    shared ``MANIPOSE_PREFLIGHT_DEADLINE_S`` (the knob every other tool
+    reads), then 240 s.
+    """
+    import sys
+
+    deadline_s = float(
+        os.environ.get("BENCH_PREFLIGHT_DEADLINE_S")
+        or os.environ.get("MANIPOSE_PREFLIGHT_DEADLINE_S")
+        or 240
+    )
+    budget_s = float(os.environ.get("BENCH_RETRY_BUDGET_S", "1200"))
+    interval_s = float(os.environ.get("BENCH_RETRY_INTERVAL_S", "120"))
+    t_end = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        ok, diag = _probe_device_subprocess(deadline_s)
+        if ok:
+            if attempt > 1:
+                print(
+                    f"bench: device healthy on probe attempt {attempt} "
+                    "(tunnel recovered within the retry budget)",
+                    file=sys.stderr, flush=True,
+                )
+            return
+        remaining = t_end - time.monotonic()
+        print(
+            f"bench: device probe attempt {attempt} failed "
+            f"({remaining:.0f}s of retry budget left): {diag}",
+            file=sys.stderr, flush=True,
+        )
+        if remaining <= 0:
+            print(
+                f"bench: giving up after {attempt} probe attempts over "
+                f"{budget_s:.0f}s — the TPU tunnel's compile/execute "
+                "service stayed unresponsive for the whole retry budget "
+                "(raise BENCH_RETRY_BUDGET_S to wait longer).",
+                file=sys.stderr, flush=True,
+            )
+            raise SystemExit(3)
+        time.sleep(min(interval_s, max(remaining, 0)))
 
 
 def main():
-    _require_devices()
-    _preflight_compute()
+    _await_device_or_exit()
     from manipose_tpu.geometry import h36m_skeleton_17
     from manipose_tpu.models import ManifoldConfig, RMCLManifoldMixSTE
     from manipose_tpu.train import (

@@ -135,7 +135,11 @@ def force_with_deadline(fn, what: str, timeout_s: float, *, tool: str = "manipos
     def run():
         try:
             result["v"] = fn()
-        except Exception as e:  # noqa: BLE001 — re-raised below
+        except BaseException as e:  # noqa: BLE001 — re-raised below.
+            # BaseException, not Exception: a SystemExit/KeyboardInterrupt
+            # delivered inside the worker must surface in the caller, not
+            # silently turn the result into None (bench would then time a
+            # warmup that never ran).
             result["e"] = e
         finally:
             done.set()
@@ -181,6 +185,63 @@ def preflight_device_or_exit(
         return float(jnp.sum(x @ x))
 
     force_with_deadline(tiny, "preflight 256x256 matmul", timeout_s, tool=tool)
+
+
+def host_fingerprint() -> str:
+    """Short digest of this host's CPU identity (arch + feature flags +
+    JAX version).
+
+    Why: the XLA:CPU persistent compile cache stores AOT executables
+    whose cache key does NOT fully capture the compiling machine's CPU
+    features. Sharing one cache directory across host migrations (or
+    with the TPU tunnel client) lets a foreign AOT entry load here —
+    observed 2026-08-19/20 as "This could lead to execution errors such
+    as SIGILL" warnings and, worse, one device thread wedging before a
+    collective-permute rendezvous so the 8-device dryrun hung until the
+    driver's outer timeout (MULTICHIP_r03 rc=124, root-caused in
+    VERDICT r3). Keying the cache dir by this fingerprint makes a host
+    migration invalidate the cache instead of poisoning the run.
+    """
+    import hashlib
+    import platform as _plat
+
+    parts = [_plat.machine()]
+    try:
+        flags = model = None
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                # model name too, not just flags: LLVM tuning preferences
+                # (+prefer-no-scatter/gather) derive from the CPU *model*,
+                # so two hosts with identical CPUID flags can still emit
+                # differently-tuned AOT code
+                if flags is None and line.startswith(("flags", "Features")):
+                    flags = line.strip()
+                elif model is None and line.startswith("model name"):
+                    model = line.strip()
+                if flags and model:
+                    break
+        parts.extend(p for p in (model, flags) if p)
+    except OSError:
+        parts.append(_plat.processor() or "unknown")
+    import jax
+
+    parts.append(jax.__version__)
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:8]
+
+
+def cpu_cache_dir() -> str:
+    """Per-host XLA:CPU compile-cache directory (see host_fingerprint).
+
+    Used by the test conftest, the multichip dryrun, and the multihost
+    workers — everything that compiles on the CPU backend. Never points
+    at the TPU tunnel cache (``/root/.cache/jax-tpu-cache``): mixing
+    CPU AOT artifacts into the TPU cache dir across host migrations is
+    exactly the poisoning mode this exists to prevent. Base dir
+    overridable via ``MANIPOSE_CPU_CACHE_BASE`` (tests point it at a
+    tmpdir).
+    """
+    base = os.environ.get("MANIPOSE_CPU_CACHE_BASE", "/root/.cache")
+    return os.path.join(base, f"jax-cpu-cache-{host_fingerprint()}")
 
 
 def relax_cpu_collective_timeouts(

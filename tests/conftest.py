@@ -25,7 +25,12 @@ from manipose_tpu.utils.platform import relax_cpu_collective_timeouts  # noqa: E
 relax_cpu_collective_timeouts()
 
 # Persistent compilation cache: CPU XLA compiles dominate test time.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-test-cache")
+# Per-host fingerprinted dir — a foreign XLA:CPU AOT entry surviving a
+# host migration in a shared cache dir can SIGILL or wedge a collective
+# rendezvous (VERDICT r3 #1; utils.platform.cpu_cache_dir).
+from manipose_tpu.utils.platform import cpu_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REF_ROOT = "/root/reference/hpe"

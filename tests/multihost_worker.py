@@ -27,8 +27,14 @@ def main():
 
     relax_cpu_collective_timeouts()
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    from manipose_tpu.utils.platform import cpu_cache_dir
+
+    # per-host fingerprinted CPU cache (never the shared TPU tunnel
+    # cache): a foreign XLA:CPU AOT entry from before a host migration
+    # can wedge a collective rendezvous (VERDICT r3 #1)
     jax.config.update(
-        "jax_compilation_cache_dir", "/root/.cache/jax-test-cache"
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", cpu_cache_dir()),
     )
     from manipose_tpu.parallel.multihost import (
         barrier,

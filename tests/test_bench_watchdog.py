@@ -51,6 +51,80 @@ def test_preflight_completes_on_healthy_backend():
     preflight_device_or_exit(30.0, tool="test")
 
 
+_RETRY_SNIPPET = """
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["BENCH_RETRY_BUDGET_S"] = "5"
+os.environ["BENCH_RETRY_INTERVAL_S"] = "0.01"
+import bench
+
+# (a) recovery: two failed probes then a healthy one -> returns
+calls = []
+def flaky(deadline_s):
+    calls.append(1)
+    return (len(calls) >= 3), "simulated outage"
+bench._probe_device_subprocess = flaky
+bench._await_device_or_exit()
+assert len(calls) == 3, calls
+print("RECOVERED", flush=True)
+
+# (b) persistent outage: budget exhausted -> SystemExit(3)
+os.environ["BENCH_RETRY_BUDGET_S"] = "0.05"
+bench._probe_device_subprocess = lambda d: (False, "still down")
+try:
+    bench._await_device_or_exit()
+except SystemExit as e:
+    assert e.code == 3, e.code
+    print("GAVE_UP_RC3", flush=True)
+else:
+    raise AssertionError("expected SystemExit(3)")
+"""
+
+
+def test_retry_loop_recovers_and_gives_up(tmp_path):
+    """VERDICT r3 #2: bench must survive a transient outage (bounded
+    retries) and still emit the crisp rc=3 path when the outage outlasts
+    the budget. Probe is monkeypatched — the real subprocess probe is
+    covered by test_probe_subprocess_healthy below."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", _RETRY_SNIPPET.format(repo=repo)],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "RECOVERED" in proc.stdout
+    assert "GAVE_UP_RC3" in proc.stdout
+    assert "tunnel recovered within the retry budget" in proc.stderr
+    assert "giving up after" in proc.stderr
+
+
+def test_probe_subprocess_healthy(tmp_path):
+    """The real probe subprocess returns ok on a healthy (CPU) backend
+    and relays the devices line to stderr."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snippet = (
+        f"import sys; sys.path.insert(0, {repo!r})\n"
+        "import bench\n"
+        "ok, diag = bench._probe_device_subprocess(60.0)\n"
+        "assert ok, diag\n"
+        "print('PROBE_OK', flush=True)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", snippet],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "MANIPOSE_PLATFORM": "cpu",
+             "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "PROBE_OK" in proc.stdout
+    assert "devices:" in proc.stderr
+
+
 def test_force_with_deadline_diagnoses_hung_rpc(tmp_path):
     import os
 

@@ -26,6 +26,80 @@ def _ambient_env():
     return env
 
 
+def _dryrun_code(n=8):
+    return textwrap.dedent(
+        """
+        import importlib.util
+        spec = importlib.util.spec_from_file_location("__graft_entry__", %r)
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        m.dryrun_multichip(%d)
+        """
+        % (ENTRY, n)
+    )
+
+
+def _cache_dir_for(base):
+    """The fingerprinted CPU cache dir the dryrun will use under
+    MANIPOSE_CPU_CACHE_BASE=base (computed with the same helper)."""
+    import os as _os
+
+    from manipose_tpu.utils.platform import host_fingerprint
+
+    return _os.path.join(str(base), f"jax-cpu-cache-{host_fingerprint()}")
+
+
+class TestPoisonedCacheRecovery:
+    """VERDICT r3 #1 regression: a poisoned compile-cache entry must be
+    purged-and-retried (recovery) or produce a crisp attributed failure
+    — never an indefinite hang to the driver's outer timeout."""
+
+    def test_poisoned_cache_is_purged_and_dryrun_recovers(self, tmp_path):
+        cache = _cache_dir_for(tmp_path)
+        os.makedirs(cache)
+        open(os.path.join(cache, "POISON"), "w").close()
+        env = _ambient_env()
+        env["MANIPOSE_CPU_CACHE_BASE"] = str(tmp_path)
+        env["MANIPOSE_DRYRUN_LEGS"] = ""  # preflight path only (fast)
+        proc = subprocess.run(
+            [sys.executable, "-c", _dryrun_code()],
+            env=env, cwd=REPO, capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        assert "purging compile cache" in proc.stdout, proc.stdout
+        assert "mesh preflight ok" in proc.stdout, proc.stdout
+        assert "dryrun_multichip ok" in proc.stdout, proc.stdout
+        # the poisoned dir was actually purged (preflight repopulates it)
+        assert not os.path.exists(os.path.join(cache, "POISON"))
+
+    def test_persistent_preflight_failure_is_a_crisp_error(self, tmp_path):
+        # a 1s deadline no preflight can meet: both attempts time out and
+        # the orchestrator must raise with a diagnosis, not hang
+        env = _ambient_env()
+        env["MANIPOSE_CPU_CACHE_BASE"] = str(tmp_path)
+        env["MANIPOSE_DRYRUN_PREFLIGHT_DEADLINE_S"] = "1"
+        env["MANIPOSE_DRYRUN_LEGS"] = ""
+        proc = subprocess.run(
+            [sys.executable, "-c", _dryrun_code()],
+            env=env, cwd=REPO, capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode != 0
+        assert "failed twice" in proc.stderr, proc.stderr[-4000:]
+        assert "fresh compile cache" in proc.stderr
+
+    def test_clean_cache_preflight_green(self, tmp_path):
+        env = _ambient_env()
+        env["MANIPOSE_CPU_CACHE_BASE"] = str(tmp_path)
+        env["MANIPOSE_DRYRUN_LEGS"] = ""
+        proc = subprocess.run(
+            [sys.executable, "-c", _dryrun_code()],
+            env=env, cwd=REPO, capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        assert "purging" not in proc.stdout
+        assert "mesh preflight ok" in proc.stdout, proc.stdout
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_like_the_driver():
     """Import the module and call dryrun_multichip(8) from a clean process."""
@@ -45,10 +119,12 @@ def test_dryrun_multichip_like_the_driver():
         cwd=REPO,
         capture_output=True,
         text=True,
-        timeout=1200,
+        timeout=3000,
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "dryrun_multichip ok" in proc.stdout, proc.stdout[-2000:]
+    for leg in ("tp", "fsdp", "ring", "pipe", "multihost"):
+        assert f"dryrun leg {leg} ok" in proc.stdout, (leg, proc.stdout[-3000:])
 
 
 @pytest.mark.slow
@@ -75,7 +151,7 @@ def test_dryrun_multichip_after_backend_init_reexecs():
         cwd=REPO,
         capture_output=True,
         text=True,
-        timeout=1200,
+        timeout=3000,
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "dryrun_multichip ok" in proc.stdout, proc.stdout[-2000:]

@@ -35,7 +35,6 @@ enable_compilation_cache()
 
 
 def main():
-    preflight_device_or_exit(tool="bench_sustained")
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--batch", type=int, default=16)
@@ -47,6 +46,8 @@ def main():
         help="fuse K optimizer steps per dispatch (megastep A/B)",
     )
     args = ap.parse_args()
+    # after parse_args: --help must not probe the device first
+    preflight_device_or_exit(tool="bench_sustained")
 
     from manipose_tpu.data import PoseSequenceDataset, SequenceLoader
     from manipose_tpu.data.pipeline import prefetch

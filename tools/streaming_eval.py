@@ -43,7 +43,6 @@ def mpjpe_mm(pred, gt):
 
 
 def main(argv=None):
-    preflight_device_or_exit(tool="streaming_eval")
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", default="",
                     help=".pth (reference format) or orbax directory")
@@ -58,6 +57,9 @@ def main(argv=None):
     ap.add_argument("--out", type=Path, default=None)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
+    # after parse_args: --help/bad-args must print usage, not probe the
+    # device (a tunnel outage would block the probe ~240s first)
+    preflight_device_or_exit(tool="streaming_eval")
 
     from manipose_tpu.config import load_config
     from manipose_tpu.serving import Predictor

@@ -84,12 +84,13 @@ def make_videos(n_videos, n_frames, skel, seed=0):
 
 
 def main():
-    preflight_device_or_exit(tool="synthetic_overfit")
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seq-len", type=int, default=27)
     ap.add_argument("--small", action="store_true")
     args = ap.parse_args()
+    # after parse_args: --help must not probe the device first
+    preflight_device_or_exit(tool="synthetic_overfit")
 
     skel = h36m_skeleton_17()
     videos_3d, videos_2d = make_videos(8, 16 * args.seq_len, skel)
