@@ -78,6 +78,96 @@ def restore_checkpoint(directory, tag: str, target):
         return ckptr.restore(path, target)
 
 
+def atomic_write_json(path, payload: dict) -> None:
+    """Write JSON via tmp-file + rename so a crash never leaves a torn
+    file (the same atomicity orbax's commit rename provides)."""
+    import json
+    import os
+
+    path = Path(path)
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def find_resume_state(directory) -> Optional[tuple]:
+    """Newest fully-committed resume state in ``directory`` ->
+    ``(tag, host_dict)`` or None.
+
+    Crash consistency (the failure-detection bar SURVEY §5 sets for
+    elastic restart; no reference counterpart — its resume is manual):
+    a kill mid-async-commit leaves an orbax tmp dir
+    (``<tag>.orbax-checkpoint-tmp-*``) and, with single-name tags under
+    ``save(force=True)``, can DELETE the previous committed state first
+    — the restart would then crash on a pointer json describing a
+    checkpoint that no longer exists. The loop therefore saves
+    epoch-numbered tags (``train_state_NNNNNN``) and marks commit
+    completion by writing ``host_state.json`` INSIDE the committed dir
+    only after the blocking save returns. Discovery: the highest-epoch
+    final-named dir that contains the sidecar. Torn commits (tmp-named
+    dirs) and commit-without-sidecar dirs (killed between commit and
+    sidecar write) are skipped — the previous committed epoch wins.
+
+    Falls back to the two legacy layouts (``train_state/`` +
+    ``train_state_host.json`` beside it, or ``host_state.json`` inside).
+    """
+    import json
+
+    directory = Path(directory)
+    candidates = [
+        d for d in directory.glob("train_state_[0-9]*")
+        # strict final naming: a ".orbax-checkpoint-tmp-*" dir is
+        # structurally uncommitted whatever it contains
+        if d.is_dir() and re.fullmatch(r"train_state_\d+", d.name)
+        and (d / "host_state.json").exists()
+    ]
+    if candidates:
+        chosen = max(candidates, key=lambda p: p.name)
+        with open(chosen / "host_state.json") as f:
+            return chosen.name, json.load(f)
+    legacy = directory / "train_state"
+    if legacy.is_dir():
+        for host_json in (
+            directory / "train_state_host.json",
+            legacy / "host_state.json",
+        ):
+            if host_json.exists():
+                with open(host_json) as f:
+                    return "train_state", json.load(f)
+    return None
+
+
+def prune_resume_states(directory, keep: int = 2) -> None:
+    """Delete all but the newest ``keep`` COMMITTED epoch-numbered
+    resume states, plus crash debris: final-named dirs without the
+    sidecar marker (a kill between orbax commit and sidecar write — the
+    in-process flow always marks before pruning, so an unmarked dir is
+    from a dead process) and orbax tmp dirs from torn commits (resume
+    saves block, so no train_state tmp is ever legitimately in flight
+    when this runs)."""
+    import re as _re
+    import shutil
+
+    directory = Path(directory)
+    committed, debris = [], []
+    for d in directory.glob("train_state_[0-9]*"):
+        if not d.is_dir():
+            continue
+        if _re.fullmatch(r"train_state_\d+", d.name):
+            if (d / "host_state.json").exists():
+                committed.append(d)
+            else:
+                debris.append(d)
+        elif ".orbax-checkpoint-tmp-" in d.name:
+            debris.append(d)
+    committed.sort()
+    for stale in (committed[:-keep] if keep else committed) + debris:
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # torch -> flax conversion
 # ---------------------------------------------------------------------------

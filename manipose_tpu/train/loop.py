@@ -141,27 +141,34 @@ def train(
 
     # resume optimizer + scheduler + epoch (reference run.checkpoint_params,
     # ``main_h36m_lifting.py:225,239-241,267-269,283-285``)
+    from .checkpoint import find_resume_state
+
     resume_from = cfg.run.get("checkpoint_params", "")
     if not resume_from and cfg.run.get("auto_resume", False):
         # elastic restart: relaunching the SAME command after a
-        # preemption picks up this run's own latest resume state
+        # preemption picks up this run's own latest COMMITTED resume
+        # state — find_resume_state skips torn mid-commit dirs
         # (no reference counterpart — its resume is manual only)
-        if (output_dir / "train_state_host.json").exists() or (
-            output_dir / "train_state" / "host_state.json"
-        ).exists():
+        if find_resume_state(output_dir) is not None:
             resume_from = str(output_dir)
             print(f"==> auto_resume: found train state in {output_dir}")
     if resume_from:
         resume_dir = Path(resume_from)
-        state = restore_checkpoint(resume_dir, "train_state", state)
-        host_json = resume_dir / "train_state_host.json"
-        if not host_json.exists():  # checkpoints from older runs
-            host_json = resume_dir / "train_state" / "host_state.json"
-        with open(host_json) as f:
-            host = json.load(f)
+        found = find_resume_state(resume_dir)
+        if found is None:
+            raise FileNotFoundError(
+                f"no committed resume state under {resume_dir} "
+                "(expected train_state_NNNNNN/ with host_state.json, or "
+                "the legacy train_state/ layout)"
+            )
+        tag, host = found
+        state = restore_checkpoint(resume_dir, tag, state)
         scheduler.load_state_dict(host["scheduler"])
         start_epoch = host["epoch"]
-        print(f"Resumed training state from {resume_dir} @ epoch {start_epoch}")
+        print(
+            f"Resumed training state from {resume_dir}/{tag} "
+            f"@ epoch {start_epoch}"
+        )
 
     loss_cfg = LossConfig(
         sq_loss=cfg_train.sq_loss,
@@ -226,22 +233,30 @@ def train(
         Call AFTER the epoch's scheduler step: ``epoch`` is the restart
         point, so the saved scheduler must already include this epoch's
         step (saving pre-step would permanently drop one step on
-        resume and desync the LR schedule)."""
+        resume and desync the LR schedule).
+
+        Crash-consistent (see ``checkpoint.find_resume_state``): each
+        save commits under an epoch-numbered tag so it never deletes the
+        previous committed state, and the host sidecar is written INSIDE
+        the committed dir only after the blocking save returns — a kill
+        at ANY point leaves either the new state fully committed+marked
+        or the previous one as the newest committed+marked, never a
+        restorable-looking torn state. The un-numbered pointer json is
+        kept as a convenience/back-compat breadcrumb only.
+        """
         if not save_checkpoints:
             return
-        # block=True: the host json below must never be newer than
-        # the orbax train_state it describes (a crash between an
-        # async commit and the json write would desync resume)
-        save_checkpoint(
-            output_dir, "train_state", current_state, block=True
-        )
-        # host-side state lives NEXT TO the orbax dir: the async
-        # commit renames a tmp dir over train_state/, so anything
-        # written inside it would be clobbered
-        with open(output_dir / "train_state_host.json", "w") as f:
-            json.dump(
-                {"scheduler": scheduler.state_dict(), "epoch": epoch}, f
-            )
+        from .checkpoint import atomic_write_json, prune_resume_states
+
+        tag = f"train_state_{epoch:06d}"
+        save_checkpoint(output_dir, tag, current_state, block=True)
+        host = {"scheduler": scheduler.state_dict(), "epoch": epoch,
+                "tag": tag}
+        # sidecar after commit = the "fully committed" marker; safe to
+        # write inside because numbered tags are never re-renamed
+        atomic_write_json(output_dir / tag / "host_state.json", host)
+        atomic_write_json(output_dir / "train_state_host.json", host)
+        prune_resume_states(output_dir, keep=2)
 
     with trace(cfg.run.get("profile_dir", "")):
         for epoch in range(start_epoch, cfg_train.epochs):

@@ -251,6 +251,107 @@ class TestH36MDriver:
         assert len(losses) == 1
 
 
+class TestCrashConsistentResume:
+    """VERDICT r3 #7: elastic restart must survive a kill mid-async-
+    commit. The loop saves epoch-numbered orbax tags and marks commit
+    completion with a sidecar written only after the blocking save
+    returns; discovery (``checkpoint.find_resume_state``) skips torn
+    tmp dirs and commit-without-sidecar dirs, resuming from the last
+    fully-committed epoch."""
+
+    def test_discovery_on_fabricated_layouts(self, tmp_path):
+        import json
+
+        from manipose_tpu.train.checkpoint import (
+            find_resume_state, prune_resume_states,
+        )
+
+        out = tmp_path
+        assert find_resume_state(out) is None
+        # two committed states
+        for epoch in (1, 2):
+            d = out / f"train_state_{epoch:06d}"
+            d.mkdir()
+            (d / "host_state.json").write_text(json.dumps({"epoch": epoch}))
+        # a torn commit (orbax tmp naming, never renamed) for epoch 3 —
+        # even WITH a sidecar inside, the tmp name alone proves it
+        # uncommitted and discovery must skip it
+        torn = out / "train_state_000003.orbax-checkpoint-tmp-99"
+        torn.mkdir()
+        (torn / "array_data").write_text("partial")
+        (torn / "host_state.json").write_text(json.dumps({"epoch": 3}))
+        # a commit killed before its sidecar marker for epoch 4
+        unmarked = out / "train_state_000004"
+        unmarked.mkdir()
+        (unmarked / "array_data").write_text("committed-bytes")
+        # a stale pointer naming the unmarked dir must not win
+        (out / "train_state_host.json").write_text(
+            json.dumps({"epoch": 4, "tag": "train_state_000004"})
+        )
+        tag, host = find_resume_state(out)
+        assert tag == "train_state_000002" and host["epoch"] == 2
+        # pruning keeps the 2 newest committed and clears older torn tmps
+        prune_resume_states(out, keep=2)
+        assert (out / "train_state_000001").exists()
+        assert (out / "train_state_000002").exists()
+        assert not torn.exists()
+
+    def test_legacy_single_tag_layout_still_resumes(self, tmp_path):
+        import json
+
+        from manipose_tpu.train.checkpoint import find_resume_state
+
+        legacy = tmp_path / "train_state"
+        legacy.mkdir()
+        (tmp_path / "train_state_host.json").write_text(
+            json.dumps({"epoch": 5, "scheduler": {}})
+        )
+        tag, host = find_resume_state(tmp_path)
+        assert tag == "train_state" and host["epoch"] == 5
+
+    def test_kill_mid_commit_resumes_from_last_committed(
+        self, synthetic_h36m, tmp_path
+    ):
+        import json
+        import shutil
+
+        from manipose_tpu.drivers.h36m import main
+        from manipose_tpu.train.checkpoint import find_resume_state
+
+        extra = ["run.test=false", "run.auto_resume=true"]
+        main(_cfg(synthetic_h36m, tmp_path,
+                  extra=extra + ["train.epochs=2"]))
+        out = tmp_path / "default"
+        committed = sorted(
+            d.name for d in out.glob("train_state_[0-9]*") if d.is_dir()
+        )
+        assert committed == ["train_state_000001", "train_state_000002"]
+
+        # fabricate the exact on-disk state of a kill while committing
+        # epoch 3: torn tmp dir + a real orbax dir missing its sidecar
+        # (copied from a genuinely committed one) + stale pointer
+        torn = out / "train_state_000003.orbax-checkpoint-tmp-7"
+        shutil.copytree(out / "train_state_000002", torn)
+        (torn / "host_state.json").unlink()
+        unmarked = out / "train_state_000004"
+        shutil.copytree(out / "train_state_000002", unmarked)
+        (unmarked / "host_state.json").unlink()
+        (out / "train_state_host.json").write_text(
+            json.dumps({"epoch": 4, "tag": "train_state_000004",
+                        "scheduler": {}})
+        )
+
+        tag, host = find_resume_state(out)
+        assert tag == "train_state_000002" and host["epoch"] == 2
+
+        # the relaunch resumes at epoch 2 and trains exactly one epoch
+        best = main(_cfg(synthetic_h36m, tmp_path,
+                         extra=extra + ["train.epochs=3"]))
+        assert best is not None and np.isfinite(best)
+        losses = np.load(out / "train_loss.npy")
+        assert len(losses) == 1
+
+
 def test_resume_equivalence(synthetic_h36m, tmp_path):
     """Mid-run resume continues EQUIVALENTLY to an uninterrupted run
     (VERDICT r2 #3): 2 straight epochs vs 1 epoch + resume-for-1 give

@@ -113,6 +113,59 @@ class TestManifold:
         )
 
 
+class TestSegHeadsOption:
+    """model.nheads_seg is the documented-divergence fast segments
+    branch (BASELINE.md r3 study: the reference's 8-head/d_head=16
+    structure costs ~8 ms/step purely from the head split). The knob
+    must reach the model, keep the param tree identical (the split is a
+    reshape, not a shape change), and keep every manifold invariant."""
+
+    def test_nheads_seg_reaches_model_and_preserves_structure(self):
+        import dataclasses
+
+        from manipose_tpu.metrics import measure_bones_length
+
+        cfg2 = dataclasses.replace(SMALL, num_heads_seg=2)
+        m8 = ManifoldMixSTE(SMALL, SKEL)
+        m2 = ManifoldMixSTE(cfg2, SKEL)
+        assert m2.cfg.num_heads_seg == 2
+        p8 = m8.init(jax.random.PRNGKey(0), _x())
+        p2 = m2.init(jax.random.PRNGKey(0), _x())
+        # identical param trees: only the in-kernel head split differs
+        assert jax.tree_util.tree_structure(p8) == (
+            jax.tree_util.tree_structure(p2)
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p8), jax.tree_util.tree_leaves(p2)
+        ):
+            assert a.shape == b.shape
+        poses = m2.apply(p2, _x())
+        assert poses.shape == (B, L, J, 3)
+        assert np.isfinite(np.asarray(poses)).all()
+        lengths = np.asarray(measure_bones_length(poses, SKEL))
+        np.testing.assert_allclose(
+            lengths, np.broadcast_to(lengths[:, :1], lengths.shape),
+            atol=1e-5,
+        )
+        # different head split => genuinely different attention math
+        # (same params on purpose: the divergence is real, not a no-op)
+        out8 = np.asarray(m8.apply(p8, _x()))
+        out2 = np.asarray(m2.apply(p8, _x()))
+        assert np.abs(out8 - out2).max() > 1e-6
+
+    def test_config_knob_reaches_driver_model(self):
+        from manipose_tpu.config import load_config
+        from manipose_tpu.drivers.common import instantiate_model
+
+        cfg = load_config(overrides=[
+            "model.nheads_seg=2", f"data.seq_len={L}",
+            "model.channels=32", "model.layers=2", "model.nheads=4",
+            "model.channels_seg=16", "model.layers_seg=2",
+        ])
+        model, rmcl = instantiate_model(cfg, SKEL)
+        assert rmcl and model.cfg.num_heads_seg == 2
+
+
 class TestRMCL:
     def _model(self):
         model = RMCLManifoldMixSTE(SMALL, SKEL)

@@ -45,6 +45,12 @@ def main():
         "--steps-per-call", type=int, default=1,
         help="fuse K optimizer steps per dispatch (megastep A/B)",
     )
+    ap.add_argument(
+        "--nheads-seg", type=int, default=8,
+        help="segments-branch heads: 8 = reference structure; 2 is the "
+        "documented-divergence fast option (BASELINE.md r3 study: the "
+        "8-head/d16 structure is latency-bound)",
+    )
     args = ap.parse_args()
     # after parse_args: --help must not probe the device first
     preflight_device_or_exit(tool="bench_sustained")
@@ -73,7 +79,10 @@ def main():
     loader = SequenceLoader(ds, batch_size=args.batch, shuffle=True, seed=0,
                             drop_last=True)
 
-    cfg = ManifoldConfig(num_frame=args.seq_len, n_hyp=5, dtype=jnp.bfloat16)
+    cfg = ManifoldConfig(
+        num_frame=args.seq_len, n_hyp=5, dtype=jnp.bfloat16,
+        num_heads_seg=args.nheads_seg,
+    )
     model = RMCLManifoldMixSTE(cfg, skel)
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, args.seq_len, 17, 2))
@@ -137,6 +146,7 @@ def main():
         "n_sequences": n_seq,
         "seq_len": args.seq_len,
         "steps_per_call": K,
+        "nheads_seg": args.nheads_seg,
     }))
 
 
