@@ -91,6 +91,58 @@ def test_drill_end_to_end_parity(drill_inputs, tmp_path, capsys):
             )
 
 
+def test_drill_3dhp_end_to_end_parity(tmp_path, capsys):
+    """The second released checkpoint's protocol (manipose_3dhp.pth):
+    reference's own Dataset3DHP + PCK@150/AUC test block vs our 3DHP
+    eval-only driver, same data_test_3dhp.npz + .pth."""
+    import torch
+
+    from conftest import install_driver_stubs
+    from make_synthetic_3dhp import generate as generate_3dhp
+    from test_geometry import _reference_h36m_17
+    import parity_drill
+
+    data_dir = tmp_path / "data"
+    generate_3dhp(data_dir, train_seqs=1, cams=1, frames=60,
+                  test_frames=60, seed=5)
+    ref_rmcl = install_driver_stubs()
+    torch.manual_seed(1)
+    model = ref_rmcl.RMCLManifoldMixSTE(
+        skeleton=_reference_h36m_17(), num_frame=TINY["seq_len"],
+        num_joints=17, num_bones=16, n_hyp=TINY["n_hyp"],
+        embed_dim_rot=TINY["channels"], depth_rot=TINY["layers"],
+        num_heads_rot=TINY["nheads"], embed_dim_seg=TINY["channels_seg"],
+        depth_seg=TINY["layers_seg"], num_heads_seg=TINY["nheads_seg"],
+        drop_path_rate=0.0,
+    )
+    ckpt = tmp_path / "tiny_manipose_3dhp.pth"
+    torch.save(model.state_dict(), ckpt)  # raw state dict flavor
+
+    out = tmp_path / "drill.json"
+    argv = [
+        "--dataset", "3dhp", "--data-dir", str(data_dir),
+        "--checkpoint", str(ckpt), "--batch-size-test", "4",
+        "--out", str(out), "--strict",
+    ]
+    for key, value in TINY.items():
+        argv += [f"--{key.replace('_', '-')}", str(value)]
+    parity_drill.main(argv)
+
+    printed = capsys.readouterr().out
+    assert "PARITY" in printed and "DIVERGENT" not in printed
+    report = json.loads(out.read_text())
+    assert report["parity"] is True and report["mpjpe_delta_mm"] <= 0.1
+    row_ref, row_ours = report["ref"]["all"], report["ours"]["all"]
+    assert set(row_ref) == {
+        "mpjpe", "sag_sym", "seg_std", "oracle", "ps_oracle",
+        "pck", "auc", "agg_pck", "agg_auc",
+    }
+    for key, ref_value in row_ref.items():
+        tol = 0.5 if key.endswith(("mpjpe", "sym", "std", "oracle")) else 0.2
+        assert abs(row_ours[key] - ref_value) < tol, (key, ref_value,
+                                                     row_ours[key])
+
+
 def test_drill_missing_inputs_fail_fast(tmp_path):
     import parity_drill
 

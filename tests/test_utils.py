@@ -80,6 +80,8 @@ class TestApplyPlatformEnv:
             "get_table_data.py",       # pandas/numpy only
             "plot_analysis.py",        # matplotlib/numpy only
             "measure_reference_baseline.py",  # reference torch only
+            "record_suite.py",         # subprocess-only (pytest child
+                                       # pins its own backend in conftest)
         }
         missing = []
         for d in ("tools", "scripts"):

@@ -1,18 +1,22 @@
 #!/usr/bin/env python
 """One-command real-data parity drill: reference driver vs this framework.
 
-Given the reference's on-disk H36M inputs — ``data_3d_h36m.npz``, a 2D
-detections npz (``data_2d_h36m_<keypoints>.npz``) and a released torch
-checkpoint (``manipose_h36m.pth``) — this runs the REFERENCE'S OWN eval
-(its ``fetch_and_prepare_data`` + ``create_dataloader`` +
-``eval_utils.evaluate`` + test-protocol metrics, imported read-only from
-/root/reference) and OUR eval-only driver path
-(``drivers.h36m.run_test_protocol`` on the .pth through the checkpoint
-converter) on the SAME files, then prints the per-action comparison
-table with deltas against the ≤0.1mm parity target.
+Given the reference's on-disk inputs and a released torch checkpoint,
+this runs the REFERENCE'S OWN eval (its ``fetch_and_prepare_data`` +
+``create_dataloader`` + ``eval_utils.evaluate`` + test-protocol
+metrics, imported read-only from /root/reference) and OUR eval-only
+driver path (the .pth through the checkpoint converter) on the SAME
+files, then prints the comparison table with deltas against the ≤0.1mm
+parity target. Both released checkpoints are covered:
 
+    # H36M (data_3d_h36m.npz + data_2d_h36m_<keypoints>.npz):
+    # per-action S11 protocol, MPJPE/MPSSE/MPSCE/P-MPJPE/oracle
     python tools/parity_drill.py --data-dir /path/to/h36m \\
         --checkpoint /path/to/manipose_h36m.pth
+
+    # MPI-INF-3DHP (data_test_3dhp.npz): PCK@150/AUC protocol
+    python tools/parity_drill.py --dataset 3dhp --data-dir /path/to/3dhp \\
+        --checkpoint /path/to/manipose_3dhp.pth
 
 Real H36M npz files and the released checkpoints cannot be obtained in
 this environment (zero egress) — the drill is proven end-to-end on
@@ -62,7 +66,7 @@ import numpy as np  # noqa: E402
 # command (`run.train=false run.checkpoint_model=<pth>`).
 import conftest  # noqa: E402,F401
 
-COLUMNS = [
+COLUMNS_H36M = [
     ("mpjpe", "MPJPE"),
     ("sag_sym", "MPSSE"),
     ("seg_std", "MPSCE"),
@@ -70,6 +74,25 @@ COLUMNS = [
     ("oracle", "oracle"),
     ("ps_oracle", "ps-oracle"),
 ]
+COLUMNS_3DHP = [
+    ("mpjpe", "MPJPE"),
+    ("sag_sym", "MPSSE"),
+    ("seg_std", "MPSCE"),
+    ("oracle", "oracle"),
+    ("ps_oracle", "ps-oracle"),
+    ("pck", "PCK@150"),
+    ("auc", "AUC"),
+    ("agg_pck", "aggPCK"),
+    ("agg_auc", "aggAUC"),
+]
+# per-dataset defaults for args passed as None (reference configs:
+# hpe/conf/config.yaml + conf/data/mpi_inf_3dhp.yaml; 3DHP eval cmd
+# README.md:61-71 uses bs 30)
+DATASET_DEFAULTS = {
+    "h36m": {"seq_len": 243, "keypoints": "cpn_ft_h36m_dbb",
+             "batch_size_test": 10},
+    "3dhp": {"seq_len": 27, "keypoints": "gt", "batch_size_test": 30},
+}
 
 
 def parse_args(argv=None):
@@ -77,11 +100,14 @@ def parse_args(argv=None):
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
     )
     ap.add_argument("--data-dir", type=Path, required=True,
-                    help="dir with data_3d_h36m.npz + data_2d_h36m_<kp>.npz")
+                    help="h36m: dir with data_3d_h36m.npz + the 2D npz; "
+                    "3dhp: dir with data_test_3dhp.npz")
     ap.add_argument("--checkpoint", type=Path, required=True,
-                    help="reference-format .pth (e.g. manipose_h36m.pth)")
-    ap.add_argument("--keypoints", default="cpn_ft_h36m_dbb")
-    ap.add_argument("--seq-len", type=int, default=243)
+                    help="reference-format .pth (manipose_h36m.pth / "
+                    "manipose_3dhp.pth)")
+    ap.add_argument("--dataset", choices=["h36m", "3dhp"], default="h36m")
+    ap.add_argument("--keypoints", default=None)
+    ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--channels", type=int, default=512)
     ap.add_argument("--layers", type=int, default=8)
     ap.add_argument("--nheads", type=int, default=8)
@@ -89,7 +115,7 @@ def parse_args(argv=None):
     ap.add_argument("--layers-seg", type=int, default=2)
     ap.add_argument("--nheads-seg", type=int, default=8)
     ap.add_argument("--n-hyp", type=int, default=5)
-    ap.add_argument("--batch-size-test", type=int, default=10)
+    ap.add_argument("--batch-size-test", type=int, default=None)
     ap.add_argument("--test-subjects", nargs="+", default=["S11"],
                     help="the reference test block hardcodes S11 "
                     "(main_h36m_lifting.py:890-891)")
@@ -106,7 +132,11 @@ def parse_args(argv=None):
                     help="exit 2 when the MPJPE delta exceeds the target")
     ap.add_argument("--out", type=Path, default=None,
                     help="write the full comparison as JSON")
-    return ap.parse_args(argv)
+    args = ap.parse_args(argv)
+    for key, value in DATASET_DEFAULTS[args.dataset].items():
+        if getattr(args, key) is None:
+            setattr(args, key, value)
+    return args
 
 
 def discover_actions(data_dir: Path, keypoints: str, subjects) -> list:
@@ -127,7 +157,7 @@ def discover_actions(data_dir: Path, keypoints: str, subjects) -> list:
 # ---------------------------------------------------------------------------
 # reference side (torch, imported read-only from /root/reference)
 # ---------------------------------------------------------------------------
-def run_reference(args, actions) -> dict:
+def run_reference_h36m(args, actions) -> dict:
     import torch
 
     from conftest import install_driver_stubs, load_ref_module
@@ -220,7 +250,7 @@ def run_reference(args, actions) -> dict:
 # ---------------------------------------------------------------------------
 # our side (the real eval-only driver path)
 # ---------------------------------------------------------------------------
-def run_ours(args, actions, tmp_out) -> dict:
+def run_ours_h36m(args, actions, tmp_out) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -273,13 +303,161 @@ def run_ours(args, actions, tmp_out) -> dict:
     return rows
 
 
+def run_reference_3dhp(args) -> dict:
+    """The reference's own 3DHP eval: ``main_3dhp.fetch_and_prepare_data``
+    (its ``Dataset3DHP`` reading ``data_test_3dhp.npz``) +
+    ``create_dataloader`` + ``evaluate`` + the PCK@150/AUC test block
+    (``main_3dhp.py:769-915``; consistency metrics on the ORACLE preds,
+    pck/auc on oracle, agg_pck/agg_auc on the aggregated)."""
+    import torch
+
+    from conftest import install_driver_stubs, load_ref_module
+
+    ref_rmcl_mod = install_driver_stubs()
+    ref_main = load_ref_module("main_3dhp")
+    ref_eval = load_ref_module("eval_utils")
+    ref_reg = load_ref_module("mh_so3_hpe.metrics.regularizations")
+    ref_pck = load_ref_module("mh_so3_hpe.metrics.pck")
+
+    cfg = types.SimpleNamespace(
+        data=types.SimpleNamespace(
+            data_dir=str(args.data_dir), dataset="3dhp", joints=17,
+            keypoints=args.keypoints, seq_len=args.seq_len,
+            miss_type="no_miss", miss_rate=0.0, noise_sigma=0,
+            actions="*", downsample=1, pad=0, out_all=True,
+        ),
+        train=types.SimpleNamespace(
+            batch_size=args.batch_size_test,
+            batch_size_test=args.batch_size_test, workers=0,
+            flip_aug=args.flip_aug, tta=args.tta,
+        ),
+        multi_hyp=types.SimpleNamespace(
+            n_hyp=args.n_hyp, agg_strategy="average"
+        ),
+        viz=types.SimpleNamespace(hypothesis=False),
+    )
+    dataset = ref_main.fetch_and_prepare_data(cfg, "paritydrill", train=False)
+
+    model = ref_rmcl_mod.RMCLManifoldMixSTE(
+        skeleton=dataset.skeleton, num_frame=args.seq_len, num_joints=17,
+        num_bones=16, n_hyp=args.n_hyp,
+        embed_dim_rot=args.channels, depth_rot=args.layers,
+        num_heads_rot=args.nheads, embed_dim_seg=args.channels_seg,
+        depth_seg=args.layers_seg, num_heads_seg=args.nheads_seg,
+        drop_path_rate=0.0,
+    )
+    state = torch.load(args.checkpoint, map_location="cpu")
+    if isinstance(state, dict) and "model_pos" in state:
+        state = state["model_pos"]
+    state = {k.removeprefix("module."): v for k, v in state.items()}
+    model.load_state_dict(state)
+    model.eval()
+
+    loader = ref_main.create_dataloader(dataset=dataset, cfg=cfg, train=False)
+    agg_list, targets, mpjpe, o_mpjpe, pso_mpjpe, oracle_preds = (
+        ref_eval.evaluate(
+            model=model, loader=loader, device="cpu", config=cfg,
+            skeleton=dataset.skeleton, compute_oracle=True,
+        )
+    )
+    with torch.no_grad():
+        gen = torch.cat(oracle_preds, dim=0).permute(0, 3, 2, 1)  # B,3,J,L mm
+        agg = torch.cat(agg_list, dim=0).permute(0, 3, 2, 1)
+        _, _, j, _ = gen.shape
+        tgt_mm = torch.cat(targets, dim=0) * 1000
+        row = {
+            "mpjpe": float(mpjpe),
+            "sag_sym": float(ref_reg.sagittal_symmetry(
+                joints_coords=gen, skeleton=dataset.skeleton,
+                mode="average", squared=False,
+            )),
+            "seg_std": float(ref_reg.segments_time_consistency(
+                joints_coords=gen.permute(1, 2, 0, 3).reshape(1, 3, j, -1),
+                skeleton=dataset.skeleton, mode="std",
+            )),
+            "oracle": float(o_mpjpe),
+            "ps_oracle": float(pso_mpjpe),
+            "pck": float(ref_pck.keypoint_3d_pck(
+                pred=gen.permute(0, 3, 2, 1).reshape(-1, j, 3),
+                gt=tgt_mm.reshape(-1, j, 3), mask=None, threshold=150,
+            )),
+            "auc": float(ref_pck.keypoint_3d_auc(
+                pred=gen.permute(0, 3, 2, 1).reshape(-1, j, 3),
+                gt=tgt_mm.reshape(-1, j, 3), mask=None,
+            )),
+            "agg_pck": float(ref_pck.keypoint_3d_pck(
+                pred=agg.permute(0, 3, 2, 1).reshape(-1, j, 3),
+                gt=tgt_mm.reshape(-1, j, 3), mask=None, threshold=150,
+            )),
+            "agg_auc": float(ref_pck.keypoint_3d_auc(
+                pred=agg.permute(0, 3, 2, 1).reshape(-1, j, 3),
+                gt=tgt_mm.reshape(-1, j, 3), mask=None,
+            )),
+        }
+    print(f"  reference 3dhp: mpjpe={row['mpjpe']:.3f}mm "
+          f"pck={row['pck']:.2f}", flush=True)
+    return {"all": row}
+
+
+def run_ours_3dhp(args, tmp_out) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from manipose_tpu.config import load_config
+    from manipose_tpu.data.dhp3 import Dataset3DHP
+    from manipose_tpu.drivers.common import instantiate_model
+    from manipose_tpu.drivers.dhp3 import run_test_protocol
+    from manipose_tpu.train.checkpoint import load_torch_checkpoint
+
+    overrides = [
+        "data=mpi_inf_3dhp",
+        f"data.data_dir={args.data_dir}",
+        f"data.keypoints={args.keypoints}",
+        f"data.seq_len={args.seq_len}",
+        "data.miss_type=no_miss",
+        f"model.channels={args.channels}",
+        f"model.layers={args.layers}",
+        f"model.nheads={args.nheads}",
+        f"model.channels_seg={args.channels_seg}",
+        f"model.layers_seg={args.layers_seg}",
+        f"model.nheads_seg={args.nheads_seg}",
+        f"multi_hyp.n_hyp={args.n_hyp}",
+        f"train.batch_size_test={args.batch_size_test}",
+        f"train.tta={str(args.tta).lower()}",
+        f"train.flip_aug={str(args.flip_aug).lower()}",
+        "model.dtype=float32",
+    ]
+    cfg = load_config(overrides=overrides)
+    dataset = Dataset3DHP(cfg.data.data_dir, train=False)
+    model, rmcl = instantiate_model(cfg, dataset.skeleton)
+    variables = load_torch_checkpoint(str(args.checkpoint), cfg.model.arch)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    metrics = run_test_protocol(
+        model.apply, variables, cfg, dataset, rmcl, tmp_out
+    )
+    row = {
+        "mpjpe": float(metrics["best_val_mpjpe"]),
+        "sag_sym": float(metrics["sag_sym"]),
+        "seg_std": float(metrics["seg_std"]),
+        "oracle": float(metrics["best_val_oracle_mpjpe"]),
+        "ps_oracle": float(metrics["best_val_ps_oracle_mpjpe"]),
+        "pck": float(metrics["pck"]),
+        "auc": float(metrics["auc"]),
+        "agg_pck": float(metrics["agg_pck"]),
+        "agg_auc": float(metrics["agg_auc"]),
+    }
+    print(f"  ours 3dhp: mpjpe={row['mpjpe']:.3f}mm pck={row['pck']:.2f}",
+          flush=True)
+    return {"all": row}
+
+
 # ---------------------------------------------------------------------------
-def compare(ref_rows: dict, our_rows: dict, threshold_mm: float):
+def compare(ref_rows: dict, our_rows: dict, threshold_mm: float, columns):
     actions = list(ref_rows)
     mean = {
         side: {
             k: float(np.mean([rows[a][k] for a in actions]))
-            for k, _ in COLUMNS
+            for k, _ in columns
         }
         for side, rows in (("ref", ref_rows), ("ours", our_rows))
     }
@@ -287,14 +465,14 @@ def compare(ref_rows: dict, our_rows: dict, threshold_mm: float):
     name_w = max(len(a) for a in actions + ["average"]) + 2
     print("\n== parity drill: reference vs manipose_tpu (mm) ==")
     hdr = f"{'action':<{name_w}}" + "".join(
-        f"{label + ' ref':>12}{'ours':>10}{'delta':>9}" for _, label in COLUMNS
+        f"{label + ' ref':>12}{'ours':>10}{'delta':>9}" for _, label in columns
     )
     print(hdr)
     for action in actions + ["average"]:
         r = ref_rows[action] if action in ref_rows else mean["ref"]
         o = our_rows[action] if action in our_rows else mean["ours"]
         line = f"{action:<{name_w}}"
-        for k, _ in COLUMNS:
+        for k, _ in columns:
             line += f"{r[k]:>12.3f}{o[k]:>10.3f}{o[k] - r[k]:>9.3f}"
         print(line)
 
@@ -309,28 +487,40 @@ def compare(ref_rows: dict, our_rows: dict, threshold_mm: float):
 
 def main(argv=None):
     args = parse_args(argv)
-    for required in (
-        args.data_dir / "data_3d_h36m.npz",
-        args.data_dir / f"data_2d_h36m_{args.keypoints}.npz",
-        args.checkpoint,
-    ):
-        if not Path(required).exists():
-            sys.exit(f"parity_drill: missing input {required}")
-
-    actions = args.actions or discover_actions(
-        args.data_dir, args.keypoints, args.test_subjects
-    )
-    print(f"actions: {actions}")
+    required = [args.checkpoint]
+    if args.dataset == "h36m":
+        required += [
+            args.data_dir / "data_3d_h36m.npz",
+            args.data_dir / f"data_2d_h36m_{args.keypoints}.npz",
+        ]
+    else:
+        required += [args.data_dir / "data_test_3dhp.npz"]
+    for path in required:
+        if not Path(path).exists():
+            sys.exit(f"parity_drill: missing input {path}")
 
     import tempfile
 
-    with tempfile.TemporaryDirectory() as tmp:
-        print("== running our eval-only driver ==", flush=True)
-        our_rows = run_ours(args, actions, tmp)
-    print("== running the reference's eval (torch CPU) ==", flush=True)
-    ref_rows = run_reference(args, actions)
+    if args.dataset == "h36m":
+        columns = COLUMNS_H36M
+        actions = args.actions or discover_actions(
+            args.data_dir, args.keypoints, args.test_subjects
+        )
+        print(f"actions: {actions}")
+        with tempfile.TemporaryDirectory() as tmp:
+            print("== running our eval-only driver ==", flush=True)
+            our_rows = run_ours_h36m(args, actions, tmp)
+        print("== running the reference's eval (torch CPU) ==", flush=True)
+        ref_rows = run_reference_h36m(args, actions)
+    else:
+        columns = COLUMNS_3DHP
+        with tempfile.TemporaryDirectory() as tmp:
+            print("== running our eval-only driver ==", flush=True)
+            our_rows = run_ours_3dhp(args, tmp)
+        print("== running the reference's eval (torch CPU) ==", flush=True)
+        ref_rows = run_reference_3dhp(args)
 
-    ok, delta, mean = compare(ref_rows, our_rows, args.threshold_mm)
+    ok, delta, mean = compare(ref_rows, our_rows, args.threshold_mm, columns)
     if args.out:
         args.out.write_text(json.dumps(
             {"ref": ref_rows, "ours": our_rows, "mean": mean,

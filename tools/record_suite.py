@@ -51,9 +51,14 @@ def main():
     ).stdout.strip())
 
     t0 = time.time()
+    import os
+
     proc = subprocess.Popen(
         cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True,
+        # unbuffered child: piped pytest block-buffers its dots, hiding
+        # all progress until exit
+        env={**os.environ, "PYTHONUNBUFFERED": "1"},
     )
     lines = []
     log_f = open(args.log, "w") if args.log else None
@@ -86,7 +91,14 @@ def main():
     }
     print(json.dumps(record), flush=True)
 
-    artifacts = REPO / "tools" / "artifacts"
+    import os
+
+    # MANIPOSE_SUITE_RECORD_DIR redirects both outputs (tests use a
+    # tmpdir so pytest-in-pytest runs don't pollute the real records)
+    record_root = Path(
+        os.environ.get("MANIPOSE_SUITE_RECORD_DIR", "") or REPO
+    )
+    artifacts = record_root / "tools" / "artifacts"
     artifacts.mkdir(parents=True, exist_ok=True)
     history_path = artifacts / "suite_record.json"
     history = (
@@ -94,7 +106,7 @@ def main():
     )
     history.append(record)
     history_path.write_text(json.dumps(history, indent=1))
-    with open(REPO / "PROGRESS.jsonl", "a") as f:
+    with open(record_root / "PROGRESS.jsonl", "a") as f:
         f.write(json.dumps(record) + "\n")
     sys.exit(rc)
 
