@@ -163,8 +163,9 @@ def _probe_device_subprocess(deadline_s: float):
     an uninterruptible tunnel RPC, and a later retry from the same
     process would inherit whatever state (locks, half-initialized
     backend) the wedged thread holds. A child either exits 0 (healthy),
-    exits 3 with the attributed tunnel diagnosis, or is killed at the
-    outer timeout. Returns (ok, diagnosis_tail).
+    exits 3 with the attributed tunnel diagnosis, exits non-zero on a
+    deterministic error, or is killed at the outer timeout. Returns
+    (ok, retryable, diagnosis_tail).
     """
     import subprocess
     import sys
@@ -190,11 +191,16 @@ def _probe_device_subprocess(deadline_s: float):
             timeout=deadline_s + 120,  # headroom for interpreter + imports
         )
     except subprocess.TimeoutExpired:
-        return False, "probe subprocess exceeded its outer timeout"
+        return False, True, "probe subprocess exceeded its outer timeout"
     if proc.returncode == 0:
         print(proc.stderr.strip(), file=sys.stderr, flush=True)
-        return True, ""
-    return False, proc.stderr.strip()[-1500:]
+        return True, False, ""
+    # rc=3 is the watchdog's attributed hang (transient outage —
+    # retryable); any other rc is a deterministic failure (broken
+    # install, bad platform config, import error) that 20 minutes of
+    # retries cannot fix — fail fast with the child's diagnosis
+    retryable = proc.returncode == 3
+    return False, retryable, proc.stderr.strip()[-1500:]
 
 
 def _await_device_or_exit():
@@ -225,7 +231,7 @@ def _await_device_or_exit():
     attempt = 0
     while True:
         attempt += 1
-        ok, diag = _probe_device_subprocess(deadline_s)
+        ok, retryable, diag = _probe_device_subprocess(deadline_s)
         if ok:
             if attempt > 1:
                 print(
@@ -240,6 +246,14 @@ def _await_device_or_exit():
             f"({remaining:.0f}s of retry budget left): {diag}",
             file=sys.stderr, flush=True,
         )
+        if not retryable:
+            print(
+                "bench: the probe failed deterministically (not the "
+                "hung-RPC outage signature) — retrying cannot help; "
+                "fix the error above.",
+                file=sys.stderr, flush=True,
+            )
+            raise SystemExit(3)
         if remaining <= 0:
             print(
                 f"bench: giving up after {attempt} probe attempts over "

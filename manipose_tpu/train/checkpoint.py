@@ -148,7 +148,6 @@ def prune_resume_states(directory, keep: int = 2) -> None:
     from a dead process) and orbax tmp dirs from torn commits (resume
     saves block, so no train_state tmp is ever legitimately in flight
     when this runs)."""
-    import re as _re
     import shutil
 
     directory = Path(directory)
@@ -156,7 +155,7 @@ def prune_resume_states(directory, keep: int = 2) -> None:
     for d in directory.glob("train_state_[0-9]*"):
         if not d.is_dir():
             continue
-        if _re.fullmatch(r"train_state_\d+", d.name):
+        if re.fullmatch(r"train_state_\d+", d.name):
             if (d / "host_state.json").exists():
                 committed.append(d)
             else:

@@ -62,7 +62,7 @@ import bench
 calls = []
 def flaky(deadline_s):
     calls.append(1)
-    return (len(calls) >= 3), "simulated outage"
+    return (len(calls) >= 3), True, "simulated outage"
 bench._probe_device_subprocess = flaky
 bench._await_device_or_exit()
 assert len(calls) == 3, calls
@@ -70,12 +70,31 @@ print("RECOVERED", flush=True)
 
 # (b) persistent outage: budget exhausted -> SystemExit(3)
 os.environ["BENCH_RETRY_BUDGET_S"] = "0.05"
-bench._probe_device_subprocess = lambda d: (False, "still down")
+bench._probe_device_subprocess = lambda d: (False, True, "still down")
 try:
     bench._await_device_or_exit()
 except SystemExit as e:
     assert e.code == 3, e.code
     print("GAVE_UP_RC3", flush=True)
+else:
+    raise AssertionError("expected SystemExit(3)")
+
+# (c) deterministic failure -> immediate fail-fast, no retry burn
+os.environ["BENCH_RETRY_BUDGET_S"] = "600"
+calls2 = []
+def broken(deadline_s):
+    calls2.append(1)
+    return False, False, "ModuleNotFoundError: jax"
+bench._probe_device_subprocess = broken
+import time as _time
+_t0 = _time.monotonic()
+try:
+    bench._await_device_or_exit()
+except SystemExit as e:
+    assert e.code == 3, e.code
+    assert len(calls2) == 1, calls2
+    assert _time.monotonic() - _t0 < 5
+    print("FAILED_FAST", flush=True)
 else:
     raise AssertionError("expected SystemExit(3)")
 """
@@ -97,6 +116,8 @@ def test_retry_loop_recovers_and_gives_up(tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "RECOVERED" in proc.stdout
     assert "GAVE_UP_RC3" in proc.stdout
+    assert "FAILED_FAST" in proc.stdout
+    assert "deterministically" in proc.stderr
     assert "tunnel recovered within the retry budget" in proc.stderr
     assert "giving up after" in proc.stderr
 
@@ -110,8 +131,8 @@ def test_probe_subprocess_healthy(tmp_path):
     snippet = (
         f"import sys; sys.path.insert(0, {repo!r})\n"
         "import bench\n"
-        "ok, diag = bench._probe_device_subprocess(60.0)\n"
-        "assert ok, diag\n"
+        "ok, retryable, diag = bench._probe_device_subprocess(60.0)\n"
+        "assert ok and not retryable, (retryable, diag)\n"
         "print('PROBE_OK', flush=True)\n"
     )
     proc = subprocess.run(

@@ -133,6 +133,12 @@ def parse_args(argv=None):
     ap.add_argument("--out", type=Path, default=None,
                     help="write the full comparison as JSON")
     args = ap.parse_args(argv)
+    if args.n_hyp < 2:
+        ap.error(
+            "--n-hyp must be >= 2: the drill drives the released rMCL "
+            "checkpoints' protocol (single-hypothesis archs have no "
+            "oracle/score columns to compare)"
+        )
     for key, value in DATASET_DEFAULTS[args.dataset].items():
         if getattr(args, key) is None:
             setattr(args, key, value)

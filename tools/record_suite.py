@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import subprocess
 import sys
@@ -51,8 +52,6 @@ def main():
     ).stdout.strip())
 
     t0 = time.time()
-    import os
-
     proc = subprocess.Popen(
         cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True,
@@ -91,8 +90,6 @@ def main():
     }
     print(json.dumps(record), flush=True)
 
-    import os
-
     # MANIPOSE_SUITE_RECORD_DIR redirects both outputs (tests use a
     # tmpdir so pytest-in-pytest runs don't pollute the real records)
     record_root = Path(
@@ -101,11 +98,14 @@ def main():
     artifacts = record_root / "tools" / "artifacts"
     artifacts.mkdir(parents=True, exist_ok=True)
     history_path = artifacts / "suite_record.json"
-    history = (
-        json.loads(history_path.read_text()) if history_path.exists() else []
-    )
+    from manipose_tpu.train.checkpoint import atomic_write_json
+
+    try:
+        history = json.loads(history_path.read_text())
+    except (OSError, json.JSONDecodeError):
+        history = []
     history.append(record)
-    history_path.write_text(json.dumps(history, indent=1))
+    atomic_write_json(history_path, history)
     with open(record_root / "PROGRESS.jsonl", "a") as f:
         f.write(json.dumps(record) + "\n")
     sys.exit(rc)

@@ -62,7 +62,12 @@ def main():
     results = {name: [] for name in arms}
     results["protocol"] = {
         "seeds": args.seeds, "epochs": args.epochs,
-        "model": dict(h2h.MODEL_KW), "arms": arms,
+        # num_heads_seg is the A/B variable — per-arm values live in
+        # "arms"; recording the pre-mutation default here would describe
+        # a configuration neither arm used
+        "model": {k: v for k, v in h2h.MODEL_KW.items()
+                  if k != "num_heads_seg"},
+        "arms": arms,
     }
     for seed in args.seeds:
         train_split, val_split = h2h.make_split(seed)
