@@ -15,11 +15,29 @@ from __future__ import annotations
 import os
 
 
+def _default_cache_dir() -> str:
+    """TPU backends share the tunnel cache; anything else gets the
+    per-host fingerprinted CPU dir. Mixing XLA:CPU AOT entries into the
+    TPU cache dir across host migrations reproduces the MULTICHIP_r03
+    poisoning mode (CLAUDE.md cache-hygiene invariant) — previously
+    ``MANIPOSE_PLATFORM=cpu python scripts/main_h36m.py`` did exactly
+    that through this default."""
+    import jax
+
+    from .platform import _on_tpu_backend, cpu_cache_dir
+
+    if _on_tpu_backend(jax):
+        return os.path.expanduser("~/.cache/jax-tpu-cache")
+    return cpu_cache_dir()
+
+
 def enable_compilation_cache(path: str | None = None) -> str:
     """Point JAX's persistent compilation cache at ``path``.
 
     Resolution order: explicit ``path`` arg > ``JAX_COMPILATION_CACHE_DIR``
-    env var > ``~/.cache/jax-tpu-cache``. Safe to call repeatedly and
+    env var > a platform-keyed default (``~/.cache/jax-tpu-cache`` on
+    TPU backends, the per-host fingerprinted CPU dir otherwise — see
+    :func:`_default_cache_dir`). Safe to call repeatedly and
     before/after backend init. Returns the directory used.
     """
     import jax
@@ -32,7 +50,7 @@ def enable_compilation_cache(path: str | None = None) -> str:
     cache_dir = (
         path
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-        or os.path.expanduser("~/.cache/jax-tpu-cache")
+        or _default_cache_dir()
     )
     os.makedirs(cache_dir, exist_ok=True)
     if already and already != cache_dir:

@@ -29,13 +29,13 @@ def main():
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
     from manipose_tpu.utils.platform import cpu_cache_dir
 
-    # per-host fingerprinted CPU cache (never the shared TPU tunnel
-    # cache): a foreign XLA:CPU AOT entry from before a host migration
-    # can wedge a collective rendezvous (VERDICT r3 #1)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", cpu_cache_dir()),
-    )
+    # per-host fingerprinted CPU cache, ALWAYS (never an ambient
+    # JAX_COMPILATION_CACHE_DIR, which may point at the TPU tunnel
+    # cache): a foreign XLA:CPU AOT entry can wedge a collective
+    # rendezvous (VERDICT r3 #1). cpu_cache_dir() honors
+    # MANIPOSE_CPU_CACHE_BASE, so tests and the dryrun orchestrator
+    # land in the same dir they configured.
+    jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
     from manipose_tpu.parallel.multihost import (
         barrier,
         global_batch,

@@ -100,6 +100,46 @@ class TestPoisonedCacheRecovery:
         assert "mesh preflight ok" in proc.stdout, proc.stdout
 
 
+def _procs_matching(needle: str) -> list:
+    """PIDs whose cmdline contains ``needle`` (inspection only)."""
+    import glob
+
+    hits = []
+    for cmdline in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            with open(cmdline, "rb") as f:
+                if needle.encode() in f.read():
+                    hits.append(cmdline.split("/")[2])
+        except OSError:
+            continue
+    return hits
+
+
+def test_leg_deadline_kill_reaps_grandchildren(tmp_path):
+    """A leg killed at its deadline must not orphan grandchildren: the
+    multihost leg spawns two gloo workers, and the orchestrator's
+    process-group kill has to reap them (a surviving wedged worker
+    loads the 1-core host during the retry — the wedge-feeding mode)."""
+    env = _ambient_env()
+    env["MANIPOSE_CPU_CACHE_BASE"] = str(tmp_path)
+    env["MANIPOSE_DRYRUN_LEGS"] = "multihost"
+    # deadline long enough for the workers to spawn, far too short for
+    # them to finish; no retry so the test stays fast
+    env["MANIPOSE_DRYRUN_LEG_DEADLINE_S"] = "12"
+    env["MANIPOSE_DRYRUN_LEG_RETRIES"] = "0"
+    proc = subprocess.run(
+        [sys.executable, "-c", _dryrun_code()],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode != 0  # the leg must have been killed
+    assert "legs failed: ['multihost']" in proc.stderr, proc.stderr[-2000:]
+    import time
+
+    time.sleep(1.0)  # SIGKILL delivery
+    leftovers = _procs_matching("multihost_worker.py")
+    assert not leftovers, f"orphaned gloo workers: {leftovers}"
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_like_the_driver():
     """Import the module and call dryrun_multichip(8) from a clean process."""

@@ -73,12 +73,9 @@ def main(argv=None):
 
     from manipose_tpu.utils.compile_cache import enable_compilation_cache
 
-    # CPU runs share the test suite's cache, device runs the driver cache
-    enable_compilation_cache(
-        "/root/.cache/jax-test-cache"
-        if platform == "cpu" and not os.environ.get("JAX_COMPILATION_CACHE_DIR")
-        else None
-    )
+    # platform-aware default: TPU -> tunnel cache, CPU -> the per-host
+    # fingerprinted dir (shared with the test suite)
+    enable_compilation_cache()
 
     from manipose_tpu.geometry import h36m_skeleton_17
     from manipose_tpu.models import ManifoldConfig, RMCLManifoldMixSTE
