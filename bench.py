@@ -196,10 +196,13 @@ def _probe_device_subprocess(deadline_s: float):
         print(proc.stderr.strip(), file=sys.stderr, flush=True)
         return True, False, ""
     # rc=3 is the watchdog's attributed hang (transient outage —
-    # retryable); any other rc is a deterministic failure (broken
-    # install, bad platform config, import error) that 20 minutes of
-    # retries cannot fix — fail fast with the child's diagnosis
-    retryable = proc.returncode == 3
+    # retryable). A NEGATIVE rc means the child died to a signal (e.g.
+    # an OOM SIGKILL during an outage window) — transient-shaped, so
+    # also retryable. Any other positive rc is a deterministic failure
+    # (broken install, bad platform config, import error) that 20
+    # minutes of retries cannot fix — fail fast with the child's
+    # diagnosis.
+    retryable = proc.returncode == 3 or proc.returncode < 0
     return False, retryable, proc.stderr.strip()[-1500:]
 
 
@@ -250,10 +253,11 @@ def _await_device_or_exit():
             print(
                 "bench: the probe failed deterministically (not the "
                 "hung-RPC outage signature) — retrying cannot help; "
-                "fix the error above.",
+                "fix the error above. [rc=4: deterministic failure; "
+                "rc=3 is reserved for the tunnel-outage diagnosis]",
                 file=sys.stderr, flush=True,
             )
-            raise SystemExit(3)
+            raise SystemExit(4)
         if remaining <= 0:
             print(
                 f"bench: giving up after {attempt} probe attempts over "

@@ -136,7 +136,16 @@ def find_resume_state(directory) -> Optional[tuple]:
         ):
             if host_json.exists():
                 with open(host_json) as f:
-                    return "train_state", json.load(f)
+                    host = json.load(f)
+                # New-format saves rewrite the beside-pointer too (with
+                # tag=train_state_NNNNNN). If the numbered dirs are gone
+                # but a STALE legacy train_state/ survives, pairing the
+                # old params with that newer epoch/scheduler sidecar
+                # would silently resume the wrong weights — only trust a
+                # pointer that actually describes the legacy layout.
+                if host.get("tag", "train_state") != "train_state":
+                    continue
+                return "train_state", host
     return None
 
 

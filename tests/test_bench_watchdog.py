@@ -58,6 +58,8 @@ os.environ["BENCH_RETRY_BUDGET_S"] = "5"
 os.environ["BENCH_RETRY_INTERVAL_S"] = "0.01"
 import bench
 
+real_probe = bench._probe_device_subprocess  # before any monkeypatching
+
 # (a) recovery: two failed probes then a healthy one -> returns
 calls = []
 def flaky(deadline_s):
@@ -79,7 +81,8 @@ except SystemExit as e:
 else:
     raise AssertionError("expected SystemExit(3)")
 
-# (c) deterministic failure -> immediate fail-fast, no retry burn
+# (c) deterministic failure -> immediate fail-fast with rc=4 (distinct
+# from the rc=3 outage diagnosis), no retry burn
 os.environ["BENCH_RETRY_BUDGET_S"] = "600"
 calls2 = []
 def broken(deadline_s):
@@ -91,12 +94,28 @@ _t0 = _time.monotonic()
 try:
     bench._await_device_or_exit()
 except SystemExit as e:
-    assert e.code == 3, e.code
+    assert e.code == 4, e.code
     assert len(calls2) == 1, calls2
     assert _time.monotonic() - _t0 < 5
-    print("FAILED_FAST", flush=True)
+    print("FAILED_FAST_RC4", flush=True)
 else:
-    raise AssertionError("expected SystemExit(3)")
+    raise AssertionError("expected SystemExit(4)")
+
+# (d) a probe child killed by a signal (negative rc, e.g. OOM SIGKILL
+# during an outage window) classifies as RETRYABLE, not deterministic
+class FakeProc:
+    returncode = -9
+    stderr = "killed"
+    stdout = ""
+import subprocess as _sp
+_orig_run = _sp.run
+_sp.run = lambda *a, **k: FakeProc()
+try:
+    ok, retryable, diag = real_probe(5.0)
+finally:
+    _sp.run = _orig_run
+assert not ok and retryable, (ok, retryable, diag)
+print("SIGNAL_RETRYABLE", flush=True)
 """
 
 
@@ -116,7 +135,8 @@ def test_retry_loop_recovers_and_gives_up(tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "RECOVERED" in proc.stdout
     assert "GAVE_UP_RC3" in proc.stdout
-    assert "FAILED_FAST" in proc.stdout
+    assert "FAILED_FAST_RC4" in proc.stdout
+    assert "SIGNAL_RETRYABLE" in proc.stdout
     assert "deterministically" in proc.stderr
     assert "tunnel recovered within the retry budget" in proc.stderr
     assert "giving up after" in proc.stderr

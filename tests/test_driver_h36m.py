@@ -309,6 +309,30 @@ class TestCrashConsistentResume:
         tag, host = find_resume_state(tmp_path)
         assert tag == "train_state" and host["epoch"] == 5
 
+    def test_stale_legacy_dir_ignores_new_format_pointer(self, tmp_path):
+        """A pointer whose tag names a NUMBERED checkpoint is a
+        new-format breadcrumb: if the numbered dirs were removed but a
+        stale legacy ``train_state/`` survives, pairing the old params
+        with that newer epoch/scheduler sidecar would silently resume
+        the wrong weights. The legacy fallback must skip it — and use
+        the in-dir sidecar (which only legacy saves wrote) if present."""
+        import json
+
+        from manipose_tpu.train.checkpoint import find_resume_state
+
+        legacy = tmp_path / "train_state"
+        legacy.mkdir()
+        (tmp_path / "train_state_host.json").write_text(
+            json.dumps({"epoch": 9, "tag": "train_state_000009"})
+        )
+        assert find_resume_state(tmp_path) is None
+        # a genuine legacy in-dir sidecar still resumes
+        (legacy / "host_state.json").write_text(
+            json.dumps({"epoch": 5, "tag": "train_state"})
+        )
+        tag, host = find_resume_state(tmp_path)
+        assert tag == "train_state" and host["epoch"] == 5
+
     def test_kill_mid_commit_resumes_from_last_committed(
         self, synthetic_h36m, tmp_path
     ):

@@ -315,6 +315,12 @@ def main(protocol: str = "h36m", doc: str | None = None):
     ap = argparse.ArgumentParser(description=doc or __doc__)
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument(
+        "--side", choices=["both", "reference", "ours"], default="both",
+        help="run only one side's cells (the other side's rows are "
+        "preserved if --json already exists) — lets an interrupted "
+        "multi-hour table be completed cell by cell",
+    )
     ap.add_argument("--frames", type=int, default=27,
                     help="window length L (flagship: 243)")
     ap.add_argument("--dims", type=int, default=64,
@@ -338,23 +344,55 @@ def main(protocol: str = "h36m", doc: str | None = None):
     set_scale(args.frames, args.dims, args.depth, args.heads,
               args.dims_seg, args.depth_seg, args.n_videos)
 
+    # Resume/merge: preserve cells already recorded in --json (matching
+    # by seed), so a run that died mid-table (round-4 failure mode: the
+    # wall-clock budget expired during the final cell) can be completed
+    # with --side/--seeds targeting just the missing cells.
     results = {"reference": [], "ours": [], "protocol": {
         "name": protocol,
         "seeds": args.seeds, "epochs": args.epochs, "seq_len": L,
         "n_hyp": K, "model": MODEL_KW, "n_videos": N_VIDEOS,
     }}
+    if args.json.exists():
+        with open(args.json) as f:
+            prior = json.load(f)
+        for side in ("reference", "ours"):
+            kept = [r for r in prior.get(side, []) if "seed" in r]
+            if kept:
+                results[side] = kept
+                print(f"resuming: kept {len(kept)} prior {side} cell(s) "
+                      f"(seeds {[r['seed'] for r in kept]})", flush=True)
+        prior_seeds = prior.get("protocol", {}).get("seeds", [])
+        results["protocol"]["seeds"] = sorted(
+            set(args.seeds) | set(prior_seeds)
+        )
+
+    def checkpoint_cell(side, seed, cell):
+        cell = {"seed": seed, **cell}
+        rows = results[side]
+        rows[:] = [r for r in rows if r.get("seed") != seed]
+        rows.append(cell)
+        rows.sort(key=lambda r: r["seed"])
+        args.json.parent.mkdir(parents=True, exist_ok=True)
+        tmp = args.json.with_suffix(".tmp")
+        with open(tmp, "w") as f:
+            json.dump(results, f, indent=1)
+        os.replace(tmp, args.json)  # crash-consistent: full file or old
+
     for seed in args.seeds:
         train_split, val_split = make_split(seed)
-        print(f"=== seed {seed}: reference (torch) ===", flush=True)
-        ref = run_reference(seed, train_split, val_split, args.epochs,
+        if args.side in ("both", "reference"):
+            print(f"=== seed {seed}: reference (torch) ===", flush=True)
+            ref = run_reference(seed, train_split, val_split, args.epochs,
+                                protocol=protocol)
+            print(f"  -> {ref}", flush=True)
+            checkpoint_cell("reference", seed, ref)
+        if args.side in ("both", "ours"):
+            print(f"=== seed {seed}: manipose_tpu ===", flush=True)
+            ours = run_ours(seed, train_split, val_split, args.epochs,
                             protocol=protocol)
-        print(f"  -> {ref}", flush=True)
-        print(f"=== seed {seed}: manipose_tpu ===", flush=True)
-        ours = run_ours(seed, train_split, val_split, args.epochs,
-                        protocol=protocol)
-        print(f"  -> {ours}", flush=True)
-        results["reference"].append(ref)
-        results["ours"].append(ours)
+            print(f"  -> {ours}", flush=True)
+            checkpoint_cell("ours", seed, ours)
 
     def stats(rows, key):
         v = np.asarray([r[key] for r in rows])
@@ -365,13 +403,16 @@ def main(protocol: str = "h36m", doc: str | None = None):
         keys += ["pck", "auc", "agg_pck", "agg_auc"]
     print("\nmetric                reference             ours")
     for key in keys:
-        print(
-            f"{key:20s} {stats(results['reference'], key)}   "
-            f"{stats(results['ours'], key)}"
-        )
-    args.json.parent.mkdir(parents=True, exist_ok=True)
-    with open(args.json, "w") as f:
-        json.dump(results, f, indent=1)
+        have = [
+            side for side in ("reference", "ours")
+            if results[side] and all(key in r for r in results[side])
+        ]
+        cols = {
+            side: (stats(results[side], key) if side in have
+                   else " " * 8 + "(absent)")
+            for side in ("reference", "ours")
+        }
+        print(f"{key:20s} {cols['reference']}   {cols['ours']}")
     print(f"\nwrote {args.json}")
 
 

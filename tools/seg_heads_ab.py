@@ -52,6 +52,12 @@ def main():
         default=REPO / "tools" / "artifacts" / "seg_heads_ab.json",
     )
     args = ap.parse_args()
+    if args.heads_a == args.heads_b:
+        # equal arms would collapse the dict to one key: both runs per
+        # seed would append under the same name and the summary print
+        # would IndexError on names[1]
+        ap.error("--heads-a and --heads-b must differ (an A/B needs "
+                 "two distinct arms)")
 
     # head-to-head protocol scale; only num_heads_seg differs per arm
     h2h.set_scale(frames=27, dims=64, depth=2, heads=4,
