@@ -33,6 +33,24 @@ class TestGroups:
         assert cfg.data.scenario == "torus-2Dto3D"
         assert cfg.train.epochs == 50
 
+    def test_fast_preset_is_one_switch(self):
+        """model=fast bundles the measured documented-divergence speed
+        wins (currently nheads_seg=2, +2.0% on-chip, trained-outcome
+        neutral — BASELINE.md "Fast segments branch") without touching
+        anything else; a later explicit override still wins."""
+        base = load_config("config")
+        cfg = load_config("config", overrides=["model=fast"])
+        assert cfg.model.nheads_seg == 2
+        # nothing else in the model section diverges from the default
+        for key, val in base.model.items():
+            if key != "nheads_seg":
+                assert cfg.model[key] == val, key
+        # explicit override after the preset wins (hydra ordering)
+        cfg = load_config(
+            "config", overrides=["model=fast", "model.nheads_seg=8"]
+        )
+        assert cfg.model.nheads_seg == 8
+
     def test_dotted_override_after_group(self):
         cfg = load_config(
             "toy", overrides=["train=mlp_hard2", "train.epochs=7"]
