@@ -190,3 +190,25 @@ def create_loader(
         shuffle=train,
         seed=cfg.run.seed,
     )
+
+
+def wants_cpu_collectives(cfg: Config) -> bool:
+    """Whether this run's config implies multi-device collectives that
+    would execute on a CPU backend's in-process communicator.
+
+    Used to gate the persistent compile cache off (see
+    ``utils.compile_cache.enable_compilation_cache``): warm XLA:CPU AOT
+    reloads of collective programs can deterministically wedge a
+    cross-op rendezvous (the MULTICHIP_r04 failure class). True when a
+    >1-device mesh or ring attention is requested; always False on TPU
+    backends, whose ICI collectives are compiled into the program and
+    never touch the CPU rendezvous runtime.
+    """
+    par = cfg.get("parallel") or {}
+    n_mesh = (
+        int(par.get("data", 1))
+        * int(par.get("model", 1))
+        * int(par.get("pipe", 1))
+    )
+    model = cfg.get("model") or {}
+    return n_mesh > 1 or model.get("attn_impl", "xla") == "ring"

@@ -172,8 +172,9 @@ def run_test_protocol(
 
 def main(cfg: Config) -> Optional[float]:
     from ..utils.compile_cache import enable_compilation_cache
+    from .common import wants_cpu_collectives
 
-    enable_compilation_cache()
+    enable_compilation_cache(cpu_collectives=wants_cpu_collectives(cfg))
     print("==> Using settings:")
     print(cfg.to_yaml())
     assert cfg.data.dataset == "3dhp", (

@@ -248,8 +248,9 @@ def run_test_protocol(
 def main(cfg: Config) -> Optional[float]:
     """Full driver (``main_h36m_lifting.py:711-1266``)."""
     from ..utils.compile_cache import enable_compilation_cache
+    from .common import wants_cpu_collectives
 
-    enable_compilation_cache()
+    enable_compilation_cache(cpu_collectives=wants_cpu_collectives(cfg))
     print("==> Using settings:")
     print(cfg.to_yaml())
 

