@@ -129,6 +129,35 @@ class TestApplyPlatformEnv:
             f"(see utils/platform.py): {missing}"
         )
 
+    def test_record_suite_parses_counts_and_durations(self):
+        """record_suite's parser feeds the per-round suite artifact and
+        the per-test duration budget (VERDICT r4 Weak #6)."""
+        import importlib.util
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parents[1]
+        spec = importlib.util.spec_from_file_location(
+            "record_suite", repo / "tools" / "record_suite.py"
+        )
+        rs = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(rs)
+        lines = [
+            "............\n",
+            "=========================== slowest 15 durations "
+            "===========================\n",
+            "912.31s call     tests/test_e2e.py::test_big\n",
+            "45.02s call     tests/test_small.py::test_quick\n",
+            "30.00s setup    tests/test_small.py::test_quick\n",
+            "402 passed, 16 deselected, 2 skipped in 3254.12s\n",
+        ]
+        counts, slowest = rs.parse_pytest_output(lines)
+        assert counts == {"passed": 402, "deselected": 16, "skipped": 2}
+        assert [d["test"] for d in slowest] == [
+            "tests/test_e2e.py::test_big",
+            "tests/test_small.py::test_quick",
+        ]  # setup phase excluded; sorted slowest-first
+        assert slowest[0]["s"] == 912.31
+
     def test_relax_cpu_collective_timeouts_appends_once(self, monkeypatch):
         from manipose_tpu.utils.platform import relax_cpu_collective_timeouts
 

@@ -10,7 +10,14 @@ the summary, and records {counts, duration, commit, timestamp} to
 ``{"type": "suite", ...}`` line to ``PROGRESS.jsonl`` so the evidence
 rides the round artifacts.
 
-  python tools/record_suite.py [--fast] [--pytest-args "-x"]
+Duration budget (VERDICT r4 Weak #6): the run always collects pytest's
+``--durations`` report and records the slowest tests in the artifact;
+``--budget-s N`` additionally FAILS the recording (rc=2) when any
+single test exceeds N seconds, catching suite-time creep before the
+suite stops being runnable per round.
+
+  python tools/record_suite.py [--fast] [--budget-s 900]
+      [--pytest-args "-x"]
 """
 
 from __future__ import annotations
@@ -27,6 +34,27 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
+def parse_pytest_output(lines):
+    """-> (summary counts, slowest tests) from ``-q --durations=N``
+    output. Durations lines look like
+    ``123.45s call     tests/test_x.py::test_y`` (setup/teardown phases
+    are ignored — the call phase is what a budget should bound)."""
+    tail = "".join(lines[-80:])
+    counts = {
+        key: int(m.group(1))
+        for key in ("passed", "failed", "error", "skipped", "deselected",
+                    "xfailed", "xpassed")
+        if (m := re.search(rf"(\d+) {key}", tail))
+    }
+    slowest = [
+        {"s": float(m.group(1)), "test": m.group(2)}
+        for line in lines
+        if (m := re.match(r"\s*(\d+\.\d+)s call\s+(\S+)", line))
+    ]
+    slowest.sort(key=lambda d: -d["s"])
+    return counts, slowest
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--fast", action="store_true",
@@ -35,9 +63,15 @@ def main():
                     help="extra pytest args, space-separated")
     ap.add_argument("--log", type=Path, default=None,
                     help="tee full pytest output to this file")
+    ap.add_argument("--budget-s", type=float, default=None,
+                    help="fail (rc=2) if any single test exceeds this "
+                    "many seconds")
+    ap.add_argument("--durations", type=int, default=15,
+                    help="how many slowest tests to record")
     args = ap.parse_args()
 
-    cmd = [sys.executable, "-m", "pytest", "tests/", "-q"]
+    cmd = [sys.executable, "-m", "pytest", "tests/", "-q",
+           f"--durations={args.durations}", "--durations-min=1.0"]
     if args.fast:
         cmd += ["-m", "not slow"]
     cmd += [a for a in args.pytest_args.split() if a]
@@ -71,13 +105,21 @@ def main():
         log_f.close()
     duration_s = round(time.time() - t0, 1)
 
-    tail = "".join(lines[-30:])
-    counts = {
-        key: int(m.group(1))
-        for key in ("passed", "failed", "error", "skipped", "deselected",
-                    "xfailed", "xpassed")
-        if (m := re.search(rf"(\d+) {key}", tail))
-    }
+    counts, slowest = parse_pytest_output(lines)
+    over_budget = (
+        [d for d in slowest if d["s"] > args.budget_s]
+        if args.budget_s else []
+    )
+    if over_budget:
+        print(
+            f"record_suite: {len(over_budget)} test(s) exceed the "
+            f"{args.budget_s:.0f}s per-test budget: "
+            + ", ".join(f"{d['test']} ({d['s']:.0f}s)"
+                        for d in over_budget[:5]),
+            flush=True,
+        )
+        if rc == 0:
+            rc = 2
     record = {
         "ts": time.time(),
         "type": "suite",
@@ -87,6 +129,10 @@ def main():
         "rc": rc,
         "duration_s": duration_s,
         **counts,
+        "slowest": slowest[: args.durations],
+        **({"budget_s": args.budget_s,
+            "over_budget": [d["test"] for d in over_budget]}
+           if args.budget_s else {}),
     }
     print(json.dumps(record), flush=True)
 
