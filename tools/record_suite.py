@@ -32,6 +32,9 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
+# atomic_write_json lives in the package; script-dir-only sys.path broke
+# the record write AFTER a green 70-min run (r5) — insert the repo root
+sys.path.insert(0, str(REPO))
 
 
 def parse_pytest_output(lines):
@@ -68,6 +71,14 @@ def main():
                     "many seconds")
     ap.add_argument("--durations", type=int, default=15,
                     help="how many slowest tests to record")
+    ap.add_argument("--from-log", type=Path, default=None,
+                    help="record from an existing pytest log instead of "
+                    "running (recovers a finished run whose recording "
+                    "step failed); pair with --rc / --duration-s")
+    ap.add_argument("--rc", type=int, default=0,
+                    help="exit code of the logged run (--from-log)")
+    ap.add_argument("--duration-s", type=float, default=None,
+                    help="wall-clock of the logged run (--from-log)")
     args = ap.parse_args()
 
     cmd = [sys.executable, "-m", "pytest", "tests/", "-q",
@@ -85,25 +96,34 @@ def main():
         capture_output=True, text=True,
     ).stdout.strip())
 
-    t0 = time.time()
-    proc = subprocess.Popen(
-        cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True,
-        # unbuffered child: piped pytest block-buffers its dots, hiding
-        # all progress until exit
-        env={**os.environ, "PYTHONUNBUFFERED": "1"},
-    )
-    lines = []
-    log_f = open(args.log, "w") if args.log else None
-    for line in proc.stdout:
-        lines.append(line)
-        print(line, end="", flush=True)
+    if args.from_log:
+        lines = args.from_log.read_text().splitlines(keepends=True)
+        rc = args.rc
+        duration_s = args.duration_s
+        if duration_s is None:  # pytest prints "... in 4223.01s (1:10:23)"
+            m = re.search(r" in (\d+\.\d+)s", "".join(lines[-10:]))
+            duration_s = float(m.group(1)) if m else None
+        cmd = cmd[:1] + [f"(recorded from {args.from_log})"] + cmd[1:]
+    else:
+        t0 = time.time()
+        proc = subprocess.Popen(
+            cmd, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+            # unbuffered child: piped pytest block-buffers its dots,
+            # hiding all progress until exit
+            env={**os.environ, "PYTHONUNBUFFERED": "1"},
+        )
+        lines = []
+        log_f = open(args.log, "w") if args.log else None
+        for line in proc.stdout:
+            lines.append(line)
+            print(line, end="", flush=True)
+            if log_f:
+                log_f.write(line)
+        rc = proc.wait()
         if log_f:
-            log_f.write(line)
-    rc = proc.wait()
-    if log_f:
-        log_f.close()
-    duration_s = round(time.time() - t0, 1)
+            log_f.close()
+        duration_s = round(time.time() - t0, 1)
 
     counts, slowest = parse_pytest_output(lines)
     over_budget = (
