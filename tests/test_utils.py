@@ -158,6 +158,44 @@ class TestApplyPlatformEnv:
         ]  # setup phase excluded; sorted slowest-first
         assert slowest[0]["s"] == 912.31
 
+    def test_record_suite_from_log_recovers_a_finished_run(self, tmp_path):
+        """--from-log writes the suite record from a captured pytest log
+        (the r5 path: a green 70-min run whose recording step crashed
+        must be recoverable without re-running the suite)."""
+        import json
+        import os
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parents[1]
+        log = tmp_path / "suite.log"
+        log.write_text(
+            "....\n"
+            "=========================== slowest 15 durations "
+            "===========================\n"
+            "12.00s call     tests/test_a.py::test_x\n"
+            "7 passed, 1 skipped in 99.50s\n"
+        )
+        proc = subprocess.run(
+            [sys.executable, str(repo / "tools" / "record_suite.py"),
+             "--from-log", str(log), "--rc", "0"],
+            capture_output=True, text=True, timeout=120,
+            env={**os.environ, "MANIPOSE_SUITE_RECORD_DIR": str(tmp_path),
+                 "JAX_PLATFORMS": "cpu"},
+            cwd=repo,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        hist = json.loads(
+            (tmp_path / "tools" / "artifacts" / "suite_record.json")
+            .read_text()
+        )
+        rec = hist[-1]
+        assert rec["passed"] == 7 and rec["skipped"] == 1
+        assert rec["duration_s"] == 99.5  # parsed from the summary line
+        assert rec["slowest"][0]["test"] == "tests/test_a.py::test_x"
+        assert "recorded from" in rec["cmd"]
+
     def test_relax_cpu_collective_timeouts_appends_once(self, monkeypatch):
         from manipose_tpu.utils.platform import relax_cpu_collective_timeouts
 
